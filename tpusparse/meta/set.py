@@ -168,10 +168,14 @@ class MetaDataSet:
         assert rows.size == cols.size == nnz, f"sub {sub}: COO length mismatch"
         row_num = self.row_num(sub)
         col_num = self.col_num(sub)
+        interleaved = self.has(Level.GLOBAL, "interleaved", sub) and bool(
+            self.get_scalar(Level.GLOBAL, "interleaved", sub)
+        )
         if nnz:
             assert rows.min() >= 0 and rows.max() < row_num, f"sub {sub}: row index range"
             assert cols.min() >= 0 and cols.max() < col_num, f"sub {sub}: col index range"
-            assert np.all(np.diff(rows.astype(np.int64)) >= 0), f"sub {sub}: rows not sorted"
+            if not interleaved:
+                assert np.all(np.diff(rows.astype(np.int64)) >= 0), f"sub {sub}: rows not sorted"
 
         for level in (Level.TBLOCK, Level.WARP, Level.THREAD):
             self._check_level_blocks(sub, level, nnz, row_num)
@@ -197,7 +201,8 @@ class MetaDataSet:
         if has_row:
             frow = self.get(level, "first_row_indices", sub).astype(np.int64)
             assert frow.ndim == 1 and frow.size >= 2
-            assert frow[0] == 0 and frow[-1] <= row_num, f"{level.block_name} first_row_indices range"
+            # nnz-direction blocking may start at the first non-empty row
+            assert frow[0] >= 0 and frow[-1] <= row_num, f"{level.block_name} first_row_indices range"
             assert np.all(np.diff(frow) >= 0), f"{level.block_name} first_row_indices not sorted"
             if n_blocks is not None:
                 assert frow.size - 1 == n_blocks, (
