@@ -1,0 +1,89 @@
+"""Headline benchmark (driver-run on real TPU hardware).
+
+Config #1 of BASELINE.json: SpMM fp32, IG5-18-class sparse matrix x dense
+N=8 — plus a small schedule sweep (the reference tuner's min-time selection,
+token_test.cc:1625-1847).  Baseline = jax.experimental.sparse BCOO matmul
+(the stock JAX sparse path, our cuSPARSE analogue on TPU).
+
+Prints ONE JSON line: {"metric", "value" (GFLOP/s), "unit", "vs_baseline"}.
+Detail goes to stderr.
+"""
+
+import json
+import sys
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from tpusparse.bench.baselines import bcoo_spmm_fn
+    from tpusparse.bench.harness import gflops, time_fn
+    from tpusparse.generator import build_stripe_plan
+    from tpusparse.io import builder
+    from tpusparse.oracle import check_result, spmm_reference
+
+    log(f"backend: {jax.default_backend()} devices: {jax.devices()}")
+
+    # IG5-18-class workload: power-law graph matrix, K=8 fp32
+    M = N = 32768
+    K = 8
+    mat = builder.power_law_coo(M, N, avg_nnz_per_row=32.0, alpha=1.8, seed=42)
+    nnz = mat.nnz
+    log(f"matrix: {M}x{N}, nnz={nnz} ({mat.density*100:.3f}% dense), K={K}")
+    x = np.random.default_rng(0).standard_normal((N, K)).astype(np.float32)
+    xd = jnp.asarray(x)
+
+    # correctness oracle on a row sample
+    want = spmm_reference(mat, x.astype(np.float64))
+
+    # mini-tune over stripe work budgets (reference: min-time over schedules)
+    best = None
+    for work in (1024, 2048, 4096):
+        try:
+            plan = build_stripe_plan(mat, work_per_stripe=work, unroll=8)
+            y = np.asarray(plan(xd))
+            check_result(y, want, rtol=1e-3)
+            sec = time_fn(plan.fn, xd, iters=10, warmup=1)
+            g = gflops(nnz, K, sec)
+            log(f"stripe work={work}: {sec*1e3:.3f} ms, {g:.2f} GFLOP/s, "
+                f"pad={plan.meta['padding_rate']:.2f}, P={plan.meta['n_stripes']}")
+            if best is None or sec < best[1]:
+                best = (work, sec, g)
+        except Exception as e:  # schedule candidates may be invalid; skip
+            log(f"stripe work={work}: FAILED {type(e).__name__}: {e}")
+    if best is None:
+        print(json.dumps({"metric": "spmm_gflops", "value": 0.0, "unit": "GFLOP/s", "vs_baseline": 0.0}))
+        return
+
+    # baseline: BCOO
+    try:
+        bfn = bcoo_spmm_fn(mat)
+        yb = np.asarray(bfn(xd))
+        check_result(yb, want, rtol=1e-3)
+        bsec = time_fn(bfn, xd, iters=10, warmup=1)
+        bg = gflops(nnz, K, bsec)
+        log(f"BCOO baseline: {bsec*1e3:.3f} ms, {bg:.2f} GFLOP/s")
+    except Exception as e:
+        log(f"BCOO baseline failed: {type(e).__name__}: {e}")
+        bsec, bg = float("inf"), 0.0
+
+    work, sec, g = best
+    vs = sec and (bsec / sec if np.isfinite(bsec) else float("nan"))
+    log(f"best: work={work} {g:.2f} GFLOP/s, speedup vs BCOO: {vs:.2f}x")
+    print(json.dumps({
+        "metric": "spmm_fp32_powerlaw32k_k8_gflops",
+        "value": round(g, 3),
+        "unit": "GFLOP/s",
+        "vs_baseline": round(vs, 3) if np.isfinite(vs) else None,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -4,10 +4,16 @@ build').  Must run before jax is imported anywhere."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+# The environment's TPU plugin overrides JAX_PLATFORMS at import time; the
+# config update wins over both.
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest

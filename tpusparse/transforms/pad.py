@@ -170,7 +170,7 @@ def pad_nnz_to_multiple(ms: MetaDataSet, sub: int, multiple: int) -> list[str]:
     return _drop_parallel_levels(ms, sub)
 
 
-def pad_blocks_to_uniform_nnz(ms: MetaDataSet, sub: int, level: Level) -> int:
+def pad_blocks_to_uniform_nnz(ms: MetaDataSet, sub: int, level: Level, multiple_of: int = 1) -> int:
     """Equalize every ``level`` block to the max block nnz so the packed
     format has static TPU shapes (the TPU-native analogue of the reference's
     padding-for-fixed-thread-work; padding inserted at each block's end with
@@ -182,14 +182,16 @@ def pad_blocks_to_uniform_nnz(ms: MetaDataSet, sub: int, level: Level) -> int:
     rows, cols, vals = ms.coo(sub)
     sizes = np.diff(first_nzs)
     c = int(sizes.max()) if sizes.size else 0
+    c = -(-max(c, 1) // multiple_of) * multiple_of
     n_blocks = first_nzs.size - 1
-    if c == 0:
-        return 0
     deficit = c - sizes
     # row id for each block's padding: last nz row in block, else block first row
-    pad_row_of_block = np.where(
-        sizes > 0, rows[np.maximum(first_nzs[1:] - 1, 0)], first_rows[:-1]
-    )
+    if rows.size:
+        pad_row_of_block = np.where(
+            sizes > 0, rows[np.maximum(first_nzs[1:] - 1, 0)], first_rows[:-1]
+        )
+    else:
+        pad_row_of_block = first_rows[:-1]
     parts_r, parts_c, parts_v = [], [], []
     for b in range(n_blocks):
         lo, hi = first_nzs[b], first_nzs[b + 1]
