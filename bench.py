@@ -43,21 +43,35 @@ def main():
     # correctness oracle on a row sample
     want = spmm_reference(mat, x.astype(np.float64))
 
-    # mini-tune over stripe work budgets (reference: min-time over schedules)
+    # mini-tune over schedule candidates (reference: min-time over schedules)
+    from tpusparse.generator import build_tile_plan
+
+    candidates = []
+    for rb, ct, g, u in ((1024, 1024, 512, 4), (1024, 512, 256, 4), (512, 1024, 256, 4)):
+        candidates.append((
+            f"tile rb={rb} ct={ct} g={g} u={u}",
+            lambda rb=rb, ct=ct, g=g, u=u: build_tile_plan(
+                mat, rb=rb, ct=ct, g=g, precision="fp32x2"
+            ),
+        ))
+    candidates.append((
+        "stripe work=1024",
+        lambda: build_stripe_plan(mat, work_per_stripe=1024, unroll=8),
+    ))
     best = None
-    for work in (1024, 2048, 4096):
+    for name, make in candidates:
         try:
-            plan = build_stripe_plan(mat, work_per_stripe=work, unroll=8)
+            plan = make()
             y = np.asarray(plan(xd))
-            check_result(y, want, rtol=1e-3)
+            check_result(y, want, rtol=2e-3)
             sec = time_fn(plan.fn, xd, iters=10, warmup=1)
             g = gflops(nnz, K, sec)
-            log(f"stripe work={work}: {sec*1e3:.3f} ms, {g:.2f} GFLOP/s, "
-                f"pad={plan.meta['padding_rate']:.2f}, P={plan.meta['n_stripes']}")
+            log(f"{name}: {sec*1e3:.3f} ms, {g:.2f} GFLOP/s, "
+                f"pad={plan.meta['padding_rate']:.2f}")
             if best is None or sec < best[1]:
-                best = (work, sec, g)
+                best = (name, sec, g)
         except Exception as e:  # schedule candidates may be invalid; skip
-            log(f"stripe work={work}: FAILED {type(e).__name__}: {e}")
+            log(f"{name}: FAILED {type(e).__name__}: {e}")
     if best is None:
         print(json.dumps({"metric": "spmm_gflops", "value": 0.0, "unit": "GFLOP/s", "vs_baseline": 0.0}))
         return

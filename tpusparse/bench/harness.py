@@ -35,16 +35,24 @@ def _chain(fn: Callable, iters: int):
 
 
 def time_fn(fn: Callable, x, *, iters: int = 20, warmup: int = 2) -> float:
-    """Median-of-3 per-call seconds for ``fn(x)`` with chained iterations."""
-    loop = _chain(fn, iters)
-    w = _chain(fn, max(warmup, 1))
-    jax.device_get(w(x))  # compile + warm
+    """Per-call seconds for ``fn(x)``, slope-based: time chains of N and 2N
+    iterations and divide the difference — this cancels the fixed host
+    round-trip (~ms on the remote TPU path) that would otherwise floor every
+    measurement."""
+    short = _chain(fn, iters)
+    long = _chain(fn, 2 * iters)
+    jax.device_get(short(x))  # compile + warm
+    jax.device_get(long(x))
     samples = []
     for _ in range(3):
         t0 = time.perf_counter()
-        jax.device_get(loop(x))
-        samples.append((time.perf_counter() - t0) / iters)
-    return float(np.median(samples))
+        jax.device_get(short(x))
+        t1 = time.perf_counter()
+        jax.device_get(long(x))
+        t2 = time.perf_counter()
+        samples.append(((t2 - t1) - (t1 - t0)) / iters)
+    sec = float(np.median(samples))
+    return max(sec, 1e-9)
 
 
 def gflops(nnz: int, k: int, seconds: float, float_rate: float = 2.0) -> float:

@@ -123,3 +123,135 @@ def pack_stripe(
         nnz_real=int(np.count_nonzero(vals)),
     )
     return fmt
+
+
+@dataclasses.dataclass
+class TileFormat:
+    """Column-tiled chunk format for the one-hot MXU SpMM kernel.
+
+    One grid program = RB consecutive rows.  Its nz are ordered by
+    (column-tile, row), each (program, tile) segment padded to a multiple of
+    the chunk size G, and every program padded to a uniform NC chunks.  A
+    chunk's nz all lie in one column tile, so the kernel gathers X rows for
+    the whole chunk with ONE one-hot matmul against the (CT, ktile) X window
+    and scatters to rows with a second one-hot matmul — no per-nz scalar
+    work (the TPU-native replacement for the reference's vectorized Load()
+    coarsening; conceptual counterpart of interleaved ELL storage).
+
+    Arrays:
+      cols   [P, NC, G] int32  column local to the chunk's tile (< CT)
+      lrow   [P, NC, G] int32  row local to the program (< RB)
+      vals   [P, NC, G] dtype  value (0 for padding)
+      chunk_tile [P, 1, NC] int32  column-tile id per chunk (SMEM)
+      slot_of_origrow [M] int32    sorted-row slot per original row (-1 absent)
+    """
+
+    cols: Any
+    lrow: Any
+    vals: Any
+    chunk_tile: Any
+    slot_of_origrow: Any
+    n_programs: int
+    n_chunks: int
+    chunk_g: int
+    rb: int
+    ct: int
+    shape: tuple[int, int]
+    nnz_real: int
+
+    @property
+    def padding_rate(self) -> float:
+        return self.n_programs * self.n_chunks * self.chunk_g / max(self.nnz_real, 1)
+
+    def memory_bytes(self) -> int:
+        return sum(
+            np.asarray(a).nbytes for a in (self.cols, self.lrow, self.vals, self.chunk_tile)
+        )
+
+
+def pack_tile(
+    ms: MetaDataSet,
+    sub: int,
+    *,
+    out_rows: int,
+    rb: int = 256,
+    ct: int = 512,
+    g: int = 128,
+    val_dtype=np.float32,
+    index_dtype=np.int32,
+) -> TileFormat:
+    """Pack a sub-matrix into TileFormat (see TileFormat docstring)."""
+    rows, cols, vals = ms.coo(sub)
+    rows = rows.astype(np.int64)
+    cols = cols.astype(np.int64)
+    row_num = ms.row_num(sub)
+    col_num = ms.col_num(sub)
+    p_count = max(-(-row_num // rb), 1)
+    n_tiles = max(-(-col_num // ct), 1)
+
+    p_arr = rows // rb
+    t_arr = cols // ct
+    order = np.lexsort((cols, rows, t_arr, p_arr))
+    rows, cols, vals = rows[order], cols[order], np.asarray(vals)[order]
+    p_arr, t_arr = p_arr[order], t_arr[order]
+
+    # (p, tile) segment sizes, padded to multiples of g
+    seg_key = p_arr * n_tiles + t_arr
+    seg_sizes = np.bincount(seg_key, minlength=p_count * n_tiles).reshape(p_count, n_tiles)
+    seg_pad = -(-seg_sizes // g) * g  # zero stays zero
+    chunks_per_p = seg_pad.sum(axis=1) // g
+    nc = int(max(chunks_per_p.max(), 1))
+    c_per_p = nc * g
+
+    # destination offset of each nz: program base + padded segment start + rank
+    seg_starts = np.cumsum(seg_pad, axis=1) - seg_pad  # within-program offsets
+    nnz = rows.size
+    if nnz:
+        # rank within segment: positions minus segment start in sorted order
+        seg_first = np.concatenate(([0], np.nonzero(np.diff(seg_key))[0] + 1))
+        seg_ptr = np.zeros(nnz, dtype=np.int64)
+        seg_ptr[seg_first] = seg_first
+        seg_ptr = np.maximum.accumulate(seg_ptr)
+        rank = np.arange(nnz) - seg_ptr
+        dest = p_arr * c_per_p + seg_starts[p_arr, t_arr] + rank
+    else:
+        dest = np.empty(0, dtype=np.int64)
+
+    total = p_count * c_per_p
+    cols_f = np.zeros(total, dtype=index_dtype)
+    lrow_f = np.zeros(total, dtype=index_dtype)
+    vals_f = np.zeros(total, dtype=val_dtype)
+    cols_f[dest] = (cols - t_arr * ct).astype(index_dtype)
+    lrow_f[dest] = (rows - p_arr * rb).astype(index_dtype)
+    vals_f[dest] = vals.astype(val_dtype)
+
+    # chunk -> tile map (padding chunks use tile 0)
+    chunk_tile = np.zeros((p_count, nc), dtype=index_dtype)
+    for p in range(p_count):
+        reps = (seg_pad[p] // g)
+        tiles = np.repeat(np.arange(n_tiles, dtype=index_dtype), reps)
+        chunk_tile[p, : tiles.size] = tiles
+
+    # output recovery: slots are the sorted local rows, contiguous
+    if ms.has(Level.ROW, "original_row_of_sorted", sub):
+        rec = ms.get(Level.ROW, "original_row_of_sorted", sub)[:row_num]
+    else:
+        rec = np.arange(row_num, dtype=np.int64)
+    slot_of_origrow = np.full(out_rows, -1, dtype=index_dtype)
+    keep = rec >= 0
+    slot_of_origrow[rec[keep]] = np.arange(row_num, dtype=index_dtype)[keep]
+
+    return TileFormat(
+        cols=cols_f.reshape(p_count, nc, g),
+        lrow=lrow_f.reshape(p_count, nc, g),
+        vals=vals_f.reshape(p_count, nc, g),
+        chunk_tile=chunk_tile.reshape(p_count, 1, nc),
+        slot_of_origrow=slot_of_origrow,
+        n_programs=p_count,
+        n_chunks=nc,
+        chunk_g=g,
+        rb=rb,
+        ct=ct,
+        shape=(out_rows, col_num),
+        nnz_real=int(np.count_nonzero(vals)),
+    )

@@ -95,3 +95,60 @@ def build_stripe_plan(
             "trace_steps": len(ms.trace),
         },
     )
+
+
+def prepare_tile_format(
+    mat: CooMatrix,
+    *,
+    rb: int = 256,
+    ct: int = 512,
+    g: int = 128,
+    sort: bool = False,
+    val_dtype=np.float32,
+):
+    """Tile/one-hot pipeline: (optional length-sort) -> implicit fixed-interval
+    row blocking (RB) + col-direction tiling (CT) inside the packer."""
+    from tpusparse.format import pack_tile
+
+    ms = create_init_metadata_set(mat)
+    if sort:
+        T.get_row_order_by_length(ms, 0)
+        T.reorder_by_row_order(ms, 0)
+    fmt = pack_tile(ms, 0, out_rows=mat.shape[0], rb=rb, ct=ct, g=g, val_dtype=val_dtype)
+    return fmt, ms
+
+
+def build_tile_plan(
+    mat: CooMatrix,
+    *,
+    rb: int = 256,
+    ct: int = 512,
+    g: int = 128,
+    sort: bool = False,
+    ktile: int | None = None,
+    precision: str = "fp32x2",
+    val_dtype=np.float32,
+    interpret: bool | None = None,
+) -> SpmmPlan:
+    from tpusparse.kernels.tile_onehot import tile_spmm
+
+    fmt, ms = prepare_tile_format(mat, rb=rb, ct=ct, g=g, sort=sort, val_dtype=val_dtype)
+
+    def fn(x):
+        return tile_spmm(fmt, x, ktile=ktile, precision=precision, interpret=interpret)
+
+    return SpmmPlan(
+        fn=fn,
+        formats=[fmt],
+        shape=mat.shape,
+        meta={
+            "kernel": "tile_onehot",
+            "precision": precision,
+            "n_programs": fmt.n_programs,
+            "n_chunks": fmt.n_chunks,
+            "chunk_g": fmt.chunk_g,
+            "rb": rb,
+            "ct": ct,
+            "padding_rate": fmt.padding_rate,
+        },
+    )

@@ -1,0 +1,197 @@
+"""tile_onehot — one-hot MXU SpMM kernel (the throughput path).
+
+Per chunk of G nz (all in one column tile of width CT):
+
+  gathered[G, kt] = ColHot[G, CT] . Xwin[CT, kt]        (MXU)
+  contrib         = vals * gathered                      (VPU, fp32)
+  acc[RB, kt]    += RowHot[RB, G] . contrib              (MXU)
+
+where ColHot[g, c] = (cols[g] == c) and RowHot[r, g] = (lrow[g] == r) are
+built with broadcast-iota compares on the VPU.  No per-nz scalar operations.
+
+Precision modes (TPU MXU natively multiplies bf16; one-hot matrices are
+exact in bf16, so precision costs apply only to the data operand):
+  'bf16'    1-pass bf16 dots (X rounded to bf16)          — fastest
+  'fp32x2'  X split into bf16 hi+lo outside the kernel; each gather is two
+            1-pass dots; the row-scatter splits contrib likewise.  ~2^-16
+            relative accuracy at ~1/3 the cost of full fp32.
+  'fp32'    Precision.HIGHEST (6-pass) — bit-accurate fp32.
+
+Reference counterpart: replaces the reference's per-thread nz loops +
+vectorized Load() coarsening (total_BMT_...token.cc:643-806) with MXU
+contractions — the idiomatic TPU formulation of "gather X rows by col
+index".  The column-tile structure is the reference's col-direction blocking
+(fixed_interval_col_direction_*_operator) put to TPU-native use: it bounds
+the one-hot width so gather cost stays proportional to CT, not N.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tpusparse.format import TileFormat
+from tpusparse.kernels.common import cdiv, kernel_backend_interpret, pad_dense_rows
+
+PRECISIONS = ("bf16", "fp32x2", "fp32")
+
+
+def _split_bf16(x):
+    """Split fp32 into (hi, lo) bf16 with hi + lo ~ x to ~16 mantissa bits.
+
+    hi is produced by masking the low 16 mantissa bits (exactly representable
+    in bf16) rather than by a bf16 round-trip: under
+    --xla_allow_excess_precision (set on some TPU stacks) XLA may elide the
+    ``x - f32(bf16(x))`` residual entirely, silently degrading the result to
+    plain bf16."""
+    x = x.astype(jnp.float32)
+    bits = jax.lax.bitcast_convert_type(x, jnp.uint32)
+    hi = jax.lax.bitcast_convert_type(bits & jnp.uint32(0xFFFF0000), jnp.float32)
+    lo = x - hi
+    return hi.astype(jnp.bfloat16), lo.astype(jnp.bfloat16)
+
+
+def _tile_kernel(
+    chunk_tile_ref, cols_ref, lrow_ref, vals_ref, xhi_ref, y_ref, *,
+    nc, g, rb, ct, mode, unroll,
+):
+    kt = y_ref.shape[2]
+    f32 = jnp.float32
+    iota_ct_lane = jax.lax.broadcasted_iota(jnp.int32, (1, ct), 1)
+    iota_rb_sub = jax.lax.broadcasted_iota(jnp.int32, (rb, 1), 0)
+    DEF = jax.lax.Precision.DEFAULT
+    HI = jax.lax.Precision.HIGHEST
+
+    def dot(a, b, precision):
+        return jax.lax.dot_general(
+            a, b, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=f32, precision=precision,
+        )
+
+    def chunk_contrib(j, acc):
+        tile = chunk_tile_ref[0, 0, j]
+        c0 = pl.multiple_of(tile * ct, ct)
+        cl = cols_ref[0, pl.ds(j, 1), :].reshape(g, 1)
+        lr = lrow_ref[0, pl.ds(j, 1), :]
+        v = vals_ref[0, pl.ds(j, 1), :].reshape(g, 1).astype(f32)
+        if mode == "fp32":
+            colhot = (cl == iota_ct_lane).astype(f32)
+            gathered = dot(colhot, xhi_ref[pl.ds(c0, ct), :].astype(f32), HI)
+        elif mode == "fp32x2":
+            # hi/lo packed along K: one dot gathers both halves
+            colhot = (cl == iota_ct_lane).astype(jnp.bfloat16)
+            both = dot(colhot, xhi_ref[pl.ds(c0, ct), :], DEF)  # (G, 2*kt)
+            gathered = both[:, :kt] + both[:, kt:]
+        else:
+            colhot = (cl == iota_ct_lane).astype(jnp.bfloat16)
+            gathered = dot(colhot, xhi_ref[pl.ds(c0, ct), :], DEF)
+        contrib = v * gathered
+        if mode == "fp32":
+            rowhot = (lr == iota_rb_sub).astype(f32)
+            return acc + dot(rowhot, contrib, HI)
+        rowhot = (lr == iota_rb_sub).astype(jnp.bfloat16)
+        if mode == "fp32x2":
+            chi, clo = _split_bf16(contrib)
+            both = dot(rowhot, jnp.concatenate([chi, clo], axis=1), DEF)
+            return acc + (both[:, :kt] + both[:, kt:])
+        return acc + dot(rowhot, contrib.astype(jnp.bfloat16), DEF)
+
+    if unroll > 1:
+        def body(i, accs):
+            return tuple(
+                chunk_contrib(i * unroll + u, accs[u]) for u in range(unroll)
+            )
+        accs = jax.lax.fori_loop(
+            0, nc // unroll, body,
+            tuple(jnp.zeros((rb, kt), f32) for _ in range(unroll)),
+        )
+        acc = functools.reduce(jnp.add, accs)
+    else:
+        acc = jax.lax.fori_loop(0, nc, chunk_contrib, jnp.zeros((rb, kt), f32))
+    y_ref[0, :, :] = acc
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_programs", "nc", "g", "rb", "ct", "ktile", "mode", "unroll", "interpret"),
+)
+def _tile_call(chunk_tile, cols, lrow, vals, x, *, n_programs, nc, g, rb, ct, ktile, mode, unroll, interpret):
+    n = x.shape[0]
+    k = x.shape[1]
+    kt_count = cdiv(k, ktile)
+    if mode == "fp32":
+        xin = x
+        xwidth = ktile
+    elif mode == "fp32x2":
+        hi, lo = _split_bf16(x)
+        # pack hi/lo per K-tile: [N, t*2kt : t*2kt+kt] = hi tile, then lo tile
+        hi = hi.reshape(n, kt_count, ktile)
+        lo = lo.reshape(n, kt_count, ktile)
+        xin = jnp.stack([hi, lo], axis=2).reshape(n, kt_count * 2 * ktile)
+        xwidth = 2 * ktile
+    else:
+        xin = x.astype(jnp.bfloat16)
+        xwidth = ktile
+    u = unroll if (unroll > 1 and nc % unroll == 0) else 1
+    kernel = functools.partial(_tile_kernel, nc=nc, g=g, rb=rb, ct=ct, mode=mode, unroll=u)
+    y = pl.pallas_call(
+        kernel,
+        grid=(n_programs, kt_count),
+        out_shape=jax.ShapeDtypeStruct((n_programs, rb, kt_count * ktile), jnp.float32),
+        in_specs=[
+            pl.BlockSpec((1, 1, nc), lambda p, t: (p, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, nc, g), lambda p, t: (p, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nc, g), lambda p, t: (p, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nc, g), lambda p, t: (p, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, xwidth), lambda p, t: (0, t), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, rb, ktile), lambda p, t: (p, 0, t), memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(chunk_tile, cols, lrow, vals, xin)
+    return y.reshape(n_programs * rb, kt_count * ktile)
+
+
+def tile_spmm(
+    fmt: TileFormat,
+    x: jnp.ndarray,
+    *,
+    ktile: int | None = None,
+    precision: str = "fp32x2",
+    unroll: int = 2,
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """Y[M, K] = A . X[N, K] with A in TileFormat."""
+    assert precision in PRECISIONS, precision
+    if interpret is None:
+        interpret = kernel_backend_interpret()
+    m, n_cols = fmt.shape
+    k = x.shape[1]
+    assert x.shape[0] == n_cols
+    if ktile is None:
+        ktile = k if k <= 128 else 128
+    if k % ktile:
+        x = jnp.pad(x, ((0, 0), (0, ktile - k % ktile)))
+    # pad X rows to full tiles so the (CT, kt) window never reads OOB
+    n_tiles = cdiv(n_cols, fmt.ct)
+    x = pad_dense_rows(x.astype(jnp.float32), n_tiles * fmt.ct)
+    y_rows = _tile_call(
+        fmt.chunk_tile, fmt.cols, fmt.lrow, fmt.vals, x,
+        n_programs=fmt.n_programs,
+        nc=fmt.n_chunks,
+        g=fmt.chunk_g,
+        rb=fmt.rb,
+        ct=fmt.ct,
+        ktile=ktile,
+        mode=precision,
+        unroll=unroll,
+        interpret=interpret,
+    )
+    slot = jnp.asarray(fmt.slot_of_origrow)
+    oob = y_rows.shape[0]
+    slot = jnp.where(slot < 0, oob, slot)
+    y = jnp.take(y_rows, slot, axis=0, mode="fill", fill_value=0)
+    return y[:, :k]
