@@ -1,0 +1,140 @@
+"""Operator layer + schedule/build_plan + tuner tests (CPU interpret)."""
+
+import numpy as np
+import pytest
+
+from tpusparse.io import builder
+from tpusparse.levels import Level
+from tpusparse.meta import create_init_metadata_set
+from tpusparse.oracle import check_result, spmm_reference
+from tpusparse.ops import (
+    BalancedNnzRowBlockingOperator,
+    EllBlockPadOperator,
+    FixedIntervalRowBlockingOperator,
+    FixedNnzBlockingOperator,
+    InvalidOperator,
+    MergePathBlockingOperator,
+    OperatorExecutor,
+    RowNnzMatrixDivOperator,
+    SegmentReduceOperator,
+    SortOperator,
+    Stage,
+    ThreadTotalReduceOperator,
+    UniformBlockPadOperator,
+)
+from tpusparse.schedule import Schedule, build_plan
+
+
+@pytest.fixture
+def ms_ex(small_coo):
+    ms = create_init_metadata_set(small_coo)
+    return ms, OperatorExecutor(ms)
+
+
+def test_pipeline_runs_with_gates(ms_ex):
+    ms, ex = ms_ex
+    ex.add_and_run(SortOperator(0))
+    ex.add_and_run(MergePathBlockingOperator(0, Level.TBLOCK, 128))
+    ex.add_and_run(ThreadTotalReduceOperator(0, Level.TBLOCK))
+    ex.add_and_run(UniformBlockPadOperator(0, Level.TBLOCK))
+    assert len(ex.ctx.history) == 4
+    assert "merge_path" in ex.ctx.convert_to_string()
+    ms.logical_check()
+
+
+def test_gate_rejects_double_blocking(ms_ex):
+    ms, ex = ms_ex
+    ex.add_and_run(BalancedNnzRowBlockingOperator(0, Level.TBLOCK, 64))
+    with pytest.raises(InvalidOperator):
+        ex.add_and_run(FixedIntervalRowBlockingOperator(0, Level.TBLOCK, 16))
+
+
+def test_gate_rejects_sort_after_blocking(ms_ex):
+    ms, ex = ms_ex
+    ex.add_and_run(FixedIntervalRowBlockingOperator(0, Level.TBLOCK, 32))
+    with pytest.raises(InvalidOperator):
+        ex.add_and_run(SortOperator(0))
+
+
+def test_gate_rejects_total_reduce_after_nnz_blocking(ms_ex):
+    ms, ex = ms_ex
+    ex.add_and_run(FixedNnzBlockingOperator(0, Level.TBLOCK, 32))
+    with pytest.raises(InvalidOperator):
+        ex.add_and_run(ThreadTotalReduceOperator(0, Level.TBLOCK))
+
+
+def test_padding_rollback_reruns_blocking(ms_ex):
+    """The reference's padding delete-and-re-run semantics
+    (...thread_blocking_operator.cc:225-317)."""
+    ms, ex = ms_ex
+    ex.add_and_run(SortOperator(0))
+    ex.add_and_run(FixedIntervalRowBlockingOperator(0, Level.TBLOCK, 8))
+    assert ms.has(Level.TBLOCK, "first_nz_indices", 0)
+    ex.add_and_run(EllBlockPadOperator(0, Level.TBLOCK))
+    # blocking was dropped by the pad and re-run by the executor
+    assert ms.has(Level.TBLOCK, "first_nz_indices", 0)
+    rows, _, _ = ms.coo(0)
+    lengths = np.bincount(rows, minlength=ms.row_num(0))
+    fr = ms.get(Level.TBLOCK, "first_row_indices", 0)
+    for b in range(fr.size - 1):
+        seg = lengths[fr[b]:fr[b + 1]]
+        if seg.size:
+            assert seg.min() == seg.max()  # ELL holds under re-run blocking
+    ms.logical_check()
+
+
+def test_segment_reduce_operator(ms_ex):
+    ms, ex = ms_ex
+    ex.add_and_run(FixedNnzBlockingOperator(0, Level.TBLOCK, 32))
+    ex.add_and_run(SegmentReduceOperator(0, Level.TBLOCK))
+    assert ms.has(Level.TBLOCK, "bit_map_of_thread", 0)
+    assert ms.has(Level.TBLOCK, "segment_ptr", 0)
+    assert ms.get_scalar(Level.GLOBAL, "reduce_style", 0) == 1
+
+
+def test_row_nnz_div_operator(ms_ex):
+    ms, ex = ms_ex
+    ex.add_and_run(SortOperator(0))
+    div = RowNnzMatrixDivOperator(0, bounds=(8,))
+    ex.add_and_run(div)
+    assert len(div.new_sub_ids) >= 1
+    ms.logical_check()
+
+
+@pytest.mark.parametrize(
+    "sched",
+    [
+        Schedule(family="stripe_total", blocking="merge_path", work_per_block=96, unroll=4),
+        Schedule(family="stripe_total", blocking="balanced", work_per_block=96, sort=True, unroll=1),
+        Schedule(family="stripe_total", blocking="fixed_rows", row_interval=32, unroll=1),
+        Schedule(family="nnz_segment", work_per_block=64, unroll=4),
+        Schedule(family="tile_onehot", rb=64, ct=64, g=32),
+        Schedule(family="bucketed", bucket_bounds=(6,), rb=64, ct=64, g=32),
+    ],
+    ids=["merge", "balanced-sorted", "fixed", "segment", "tile", "bucketed"],
+)
+def test_build_plan_families(sched, small_coo, rng):
+    x = rng.standard_normal((small_coo.shape[1], 8)).astype(np.float32)
+    plan = build_plan(small_coo, sched)
+    y = np.asarray(plan(x))
+    want = spmm_reference(small_coo, x.astype(np.float64))
+    check_result(y, want, rtol=2e-3)
+
+
+def test_tuner(small_coo, rng, tmp_path):
+    from tpusparse.config import config_override
+    from tpusparse.tune import tune
+
+    x = rng.standard_normal((small_coo.shape[1], 8)).astype(np.float32)
+    cands = [
+        Schedule(family="tile_onehot", rb=64, ct=64, g=32),
+        Schedule(family="stripe_total", work_per_block=96, unroll=4),
+        Schedule(family="stripe_total", work_per_block=100000),  # bad: one huge stripe
+    ]
+    with config_override(cache_dir=str(tmp_path)):
+        res = tune(small_coo, x, candidates=cands, iters=2)
+    assert res.best_seconds > 0
+    assert sum(1 for r in res.table if r.get("ok")) >= 2
+    y = np.asarray(res.best(x))
+    check_result(y, spmm_reference(small_coo, x.astype(np.float64)), rtol=2e-3)
+    assert (tmp_path / "results.jsonl").exists()

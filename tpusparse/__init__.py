@@ -20,19 +20,59 @@ The reference's architecture maps onto this package as follows (see SURVEY.md):
   (absent in reference)                     tpusparse.dist (multi-chip shard_map)
 """
 
-from tpusparse.config import Config, get_config, set_config
+from tpusparse.config import Config, get_config, set_config, config_override
 from tpusparse.levels import Level
 from tpusparse.meta.set import MetaDataSet
 from tpusparse.meta.item import MetaDataItem, narrow_dtype
+from tpusparse.io.mtx import CooMatrix, read_mtx, write_mtx
 
 __version__ = "0.1.0"
+
+
+def spmm(mat, x, schedule=None, **kwargs):
+    """One-shot SpMM: Y = A @ X.  With no schedule, builds the default
+    tile_onehot plan; pass a Schedule (tpusparse.Schedule) to control it, or
+    use tpusparse.tune.tune for the autotuned path."""
+    from tpusparse.schedule import Schedule, build_plan
+
+    plan = build_plan(mat, schedule or Schedule(), **kwargs)
+    return plan(x)
+
+
+def _lazy(name):
+    import importlib
+
+    mod, attr = name.rsplit(".", 1)
+    return getattr(importlib.import_module(mod), attr)
+
+
+def __getattr__(name):
+    lazy_map = {
+        "Schedule": "tpusparse.schedule.Schedule",
+        "build_plan": "tpusparse.schedule.build_plan",
+        "autotune": "tpusparse.tune.tune",
+        "SpmmPlan": "tpusparse.generator.SpmmPlan",
+    }
+    if name in lazy_map:
+        return _lazy(lazy_map[name])
+    raise AttributeError(name)
+
 
 __all__ = [
     "Config",
     "get_config",
     "set_config",
+    "config_override",
     "Level",
     "MetaDataSet",
     "MetaDataItem",
     "narrow_dtype",
+    "CooMatrix",
+    "read_mtx",
+    "write_mtx",
+    "spmm",
+    "Schedule",
+    "build_plan",
+    "autotune",
+    "SpmmPlan",
 ]

@@ -255,3 +255,86 @@ def pack_tile(
         shape=(out_rows, col_num),
         nnz_real=int(np.count_nonzero(vals)),
     )
+
+
+@dataclasses.dataclass
+class SegmentFormat:
+    """nnz-direction chunk format for the segment-reduce SpMM path.
+
+    Reference counterpart: thread_bit_map_reduce_to_two_register /
+    warp_bit_map / warp_segment / tblock_bit_map reduction templates — blocks
+    own fixed nnz ranges, rows straddle blocks, per-(block,row)-segment
+    partial sums are combined afterwards (atomicAdd on GPU; a segment-sum
+    scatter on TPU, which has no atomics).
+
+    Arrays mirror StripeFormat but ``lrow`` holds the *segment id local to
+    the block* and ``row_of_slot`` maps each (block, segment) slot to its
+    original output row (-1 for unused slots).
+    """
+
+    cols: Any
+    lrow: Any
+    vals: Any
+    row_of_slot: Any
+    n_blocks: int
+    block_nnz: int
+    max_segments: int
+    shape: tuple[int, int]
+    nnz_real: int
+
+    @property
+    def padding_rate(self) -> float:
+        return self.n_blocks * self.block_nnz / max(self.nnz_real, 1)
+
+
+def pack_segment(
+    ms: MetaDataSet,
+    sub: int,
+    *,
+    out_rows: int,
+    level: Level = Level.TBLOCK,
+    val_dtype=np.float32,
+    index_dtype=np.int32,
+) -> SegmentFormat:
+    """Pack an nnz-direction blocked sub-matrix (uniform block nnz + bitmap
+    metadata present) into SegmentFormat."""
+    first_nzs = ms.get(level, "first_nz_indices", sub).astype(np.int64)
+    rows, cols, vals = ms.coo(sub)
+    bm = ms.get(level, "bit_map_of_thread", sub).astype(np.int64)
+    nnz = rows.size
+    sizes = np.diff(first_nzs)
+    assert sizes.size >= 1 and (sizes == sizes[0]).all(), "block nnz must be uniform"
+    c = int(sizes[0])
+    p = int(sizes.size)
+    assert p * c == nnz
+
+    # local segment id per nz: cumsum of bitmap within each block
+    seg_global = np.cumsum(bm) - 1  # global segment id per nz
+    block_of_nz = np.repeat(np.arange(p, dtype=np.int64), c)
+    seg_start_of_block = seg_global[first_nzs[:-1]]
+    lseg = seg_global - seg_start_of_block[block_of_nz]
+    rb = int(lseg.max()) + 1 if nnz else 1
+
+    # slot -> row map
+    if ms.has(Level.ROW, "original_row_of_sorted", sub):
+        rec = ms.get(Level.ROW, "original_row_of_sorted", sub)[: ms.row_num(sub)]
+    else:
+        rec = np.arange(ms.row_num(sub), dtype=np.int64)
+    row_of_slot = np.full(p * rb, -1, dtype=np.int64)
+    starts = bm.astype(bool)
+    slot_of_seg = block_of_nz[starts] * rb + lseg[starts]
+    local_row_of_seg = rows[starts]
+    orig = np.where(local_row_of_seg < rec.size, rec[np.minimum(local_row_of_seg, rec.size - 1)], -1)
+    row_of_slot[slot_of_seg] = orig
+
+    return SegmentFormat(
+        cols=np.ascontiguousarray(cols.reshape(p, 1, c).astype(index_dtype)),
+        lrow=np.ascontiguousarray(lseg.reshape(p, 1, c).astype(index_dtype)),
+        vals=np.ascontiguousarray(np.asarray(vals).reshape(p, 1, c).astype(val_dtype)),
+        row_of_slot=row_of_slot.astype(index_dtype),
+        n_blocks=p,
+        block_nnz=c,
+        max_segments=rb,
+        shape=(out_rows, ms.col_num(sub)),
+        nnz_real=int(np.count_nonzero(vals)),
+    )

@@ -1,0 +1,174 @@
+"""Schedules: the tuning vocabulary (reference L6).
+
+A Schedule is the declarative analogue of the reference's ``test_spmm_*``
+functions (token_test.cc:1003-1618) — a named kernel family plus the
+converting/distributing/implementing operator parameters.  ``build_plan``
+executes the operator pipeline through the OperatorExecutor (validity gates
++ rollback), packs the per-sub-matrix formats, and returns a jitted SpMM.
+
+Reference schedule family -> tpusparse family:
+
+  thread_total / warp_total / block_total   'stripe_total' (the three GPU
+      (one owner per row range)             levels collapse to the stripe
+                                            work budget on TPU)
+  thread_bit_map / warp_bit_map /           'nnz_segment' (equal-nnz blocks,
+  warp_segment / block_bitmap               segment partials + combine)
+  (MXU path, no reference counterpart)      'tile_onehot'
+  row_nz_matrix_div composite               'bucketed' (per-bucket schedule)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import numpy as np
+
+from tpusparse.format import pack_segment, pack_stripe, pack_tile
+from tpusparse.generator import SpmmPlan
+from tpusparse.io.mtx import CooMatrix
+from tpusparse.levels import Level
+from tpusparse.meta.set import create_init_metadata_set
+from tpusparse.ops import (
+    BalancedNnzRowBlockingOperator,
+    FixedIntervalRowBlockingOperator,
+    FixedNnzBlockingOperator,
+    MergePathBlockingOperator,
+    OperatorExecutor,
+    RowNnzMatrixDivOperator,
+    SegmentReduceOperator,
+    SortOperator,
+    ThreadTotalReduceOperator,
+    TileOneHotImplementOperator,
+    UniformBlockPadOperator,
+)
+
+KERNEL_FAMILIES = ("stripe_total", "nnz_segment", "tile_onehot", "bucketed")
+BLOCKINGS = ("merge_path", "balanced", "fixed_rows")
+
+
+@dataclasses.dataclass(frozen=True)
+class Schedule:
+    """One tuning candidate."""
+
+    family: str = "tile_onehot"
+    # converting
+    sort: bool = False
+    sort_by: str = "length"
+    bucket_bounds: tuple = ()          # non-empty => row-nnz div ('bucketed')
+    # distributing
+    blocking: str = "merge_path"       # stripe_total: merge_path|balanced|fixed_rows
+    work_per_block: int = 1024         # stripe/segment nnz (or work) budget
+    row_interval: int = 256            # fixed_rows interval
+    # tile_onehot params
+    rb: int = 1024
+    ct: int = 1024
+    g: int = 512
+    # implementing
+    precision: str = "fp32x2"          # tile kernel precision mode
+    unroll: int = 4
+    ktile: int | None = None
+    # per-bucket schedules for 'bucketed' (parallel to bucket count)
+    bucket_schedules: tuple = ()
+
+    def describe(self) -> dict[str, Any]:
+        return dataclasses.asdict(self)
+
+
+def _build_sub_plan(ms, ex, sub: int, sched: Schedule, out_rows: int, interpret):
+    """Run distributing+implementing for one sub-matrix; return (format, fn)."""
+    if sched.family == "stripe_total":
+        if sched.blocking == "merge_path":
+            ex.add_and_run(MergePathBlockingOperator(sub, Level.TBLOCK, sched.work_per_block))
+        elif sched.blocking == "balanced":
+            ex.add_and_run(BalancedNnzRowBlockingOperator(sub, Level.TBLOCK, sched.work_per_block))
+        else:
+            ex.add_and_run(FixedIntervalRowBlockingOperator(sub, Level.TBLOCK, sched.row_interval))
+        ex.add_and_run(ThreadTotalReduceOperator(sub, Level.TBLOCK))
+        ex.add_and_run(UniformBlockPadOperator(sub, Level.TBLOCK, multiple_of=max(sched.unroll, 1)))
+        fmt = pack_stripe(ms, sub, out_rows=out_rows)
+        from tpusparse.kernels.stripe_gather import stripe_spmm
+
+        def fn(x, fmt=fmt):
+            return stripe_spmm(fmt, x, ktile=sched.ktile, unroll=max(sched.unroll, 1),
+                               interpret=interpret)
+
+        return fmt, fn
+    if sched.family == "nnz_segment":
+        ex.add_and_run(FixedNnzBlockingOperator(sub, Level.TBLOCK, sched.work_per_block))
+        ex.add_and_run(SegmentReduceOperator(sub, Level.TBLOCK))
+        fmt = pack_segment(ms, sub, out_rows=out_rows)
+        from tpusparse.kernels.nnz_split import segment_spmm
+
+        def fn(x, fmt=fmt):
+            return segment_spmm(fmt, x, ktile=sched.ktile, unroll=max(sched.unroll, 1),
+                                interpret=interpret)
+
+        return fmt, fn
+    if sched.family == "tile_onehot":
+        ex.add_and_run(TileOneHotImplementOperator(
+            sub, rb=sched.rb, ct=sched.ct, g=sched.g,
+            precision=sched.precision, unroll=sched.unroll,
+        ))
+        fmt = pack_tile(ms, sub, out_rows=out_rows, rb=sched.rb, ct=sched.ct, g=sched.g)
+        from tpusparse.kernels.tile_onehot import tile_spmm
+
+        def fn(x, fmt=fmt):
+            return tile_spmm(fmt, x, ktile=sched.ktile, precision=sched.precision,
+                             unroll=sched.unroll, interpret=interpret)
+
+        return fmt, fn
+    raise ValueError(f"unknown family {sched.family!r}")
+
+
+def build_plan(mat: CooMatrix, sched: Schedule, *, interpret: bool | None = None) -> SpmmPlan:
+    ms = create_init_metadata_set(mat)
+    ex = OperatorExecutor(ms)
+    out_rows = mat.shape[0]
+
+    if sched.sort:
+        ex.add_and_run(SortOperator(0, by=sched.sort_by))
+
+    subs = [0]
+    sub_scheds = {0: sched}
+    if sched.family == "bucketed" or sched.bucket_bounds:
+        div = RowNnzMatrixDivOperator(0, bounds=tuple(sched.bucket_bounds))
+        ex.add_and_run(div)
+        subs = div.new_sub_ids
+        bss = sched.bucket_schedules
+        for i, s in enumerate(subs):
+            if i < len(bss):
+                sub_scheds[s] = bss[i]
+            else:
+                sub_scheds[s] = dataclasses.replace(
+                    sched, family="tile_onehot" if sched.family == "bucketed" else sched.family,
+                    bucket_bounds=(), bucket_schedules=(),
+                )
+
+    formats, fns = [], []
+    for s in subs:
+        fmt, fn = _build_sub_plan(ms, ex, s, sub_scheds[s], out_rows, interpret)
+        formats.append(fmt)
+        fns.append(fn)
+
+    if len(fns) == 1:
+        plan_fn = fns[0]
+    else:
+        def plan_fn(x):
+            y = fns[0](x)
+            for f in fns[1:]:
+                y = y + f(x)
+            return y
+
+    pads = [f.padding_rate for f in formats]
+    return SpmmPlan(
+        fn=plan_fn,
+        formats=formats,
+        shape=mat.shape,
+        meta={
+            "schedule": sched.describe(),
+            "n_subs": len(subs),
+            "padding_rate": float(np.mean(pads)) if pads else 1.0,
+            "operator_history": ex.ctx.convert_to_string(),
+        },
+    )

@@ -1,0 +1,152 @@
+"""Autotuner (reference L6 driver).
+
+The reference enumerates operator pipelines (thread-total, warp-total,
+warp-bitmap, thread-bitmap, warp-segment, block-total, block-bitmap), runs
+each end-to-end, keeps the min time (token_test.cc:1625-1847), and leaves the
+per-candidate artifacts under data_source/<id>/ for later re-use
+(obtain_result.py).  tpusparse mirrors that: enumerate Schedule candidates,
+verify each against the oracle, time with the chained harness, keep the min,
+persist the winner per matrix signature under the config cache_dir, and
+append every measurement to results.jsonl.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import hashlib
+import json
+import os
+import time
+from typing import Sequence
+
+import numpy as np
+
+from tpusparse.config import get_config
+from tpusparse.generator import SpmmPlan
+from tpusparse.io.mtx import CooMatrix
+from tpusparse.schedule import Schedule, build_plan
+
+
+def matrix_signature(mat: CooMatrix) -> str:
+    h = hashlib.sha256()
+    h.update(np.asarray(mat.shape, dtype=np.int64).tobytes())
+    h.update(np.int64(mat.nnz).tobytes())
+    h.update(np.ascontiguousarray(mat.rows[:4096]).tobytes())
+    h.update(np.ascontiguousarray(mat.cols[:4096]).tobytes())
+    return h.hexdigest()[:16]
+
+
+def default_candidates(mat: CooMatrix, k: int) -> list[Schedule]:
+    """Heuristic candidate set (the reference's 7 pipelines + param grid,
+    pruned by matrix statistics)."""
+    lengths = mat.row_lengths()
+    max_len = int(lengths.max()) if lengths.size else 0
+    avg_len = float(lengths.mean()) if lengths.size else 0.0
+    skewed = max_len > 32 * max(avg_len, 1.0)
+    cands: list[Schedule] = []
+    # MXU one-hot family — primary throughput path
+    for rb, ct, g in ((1024, 1024, 512), (1024, 512, 256), (512, 1024, 256)):
+        cands.append(Schedule(family="tile_onehot", rb=rb, ct=ct, g=g, unroll=4))
+    # stripe total family (thread/warp/block_total analogues)
+    for work in (512, 2048):
+        cands.append(Schedule(family="stripe_total", blocking="merge_path",
+                              work_per_block=work, unroll=8))
+    # nnz-direction + segment combine (bitmap/segment analogues) — wins on
+    # extreme skew where row-aligned stripes pad badly
+    if skewed:
+        cands.append(Schedule(family="nnz_segment", work_per_block=2048, unroll=8))
+        cands.append(Schedule(family="bucketed", bucket_bounds=(max(int(8 * avg_len), 32),)))
+    return cands
+
+
+@dataclasses.dataclass
+class TuneResult:
+    best: SpmmPlan
+    best_schedule: Schedule
+    best_seconds: float
+    table: list[dict]
+
+    @property
+    def gflops(self):
+        return self.table and max(r.get("gflops", 0.0) for r in self.table)
+
+
+def tune(
+    mat: CooMatrix,
+    x,
+    *,
+    candidates: Sequence[Schedule] | None = None,
+    validate: bool = True,
+    rtol: float | None = None,
+    iters: int = 10,
+    results_path: str | None = None,
+    use_cache: bool = True,
+    interpret: bool | None = None,
+) -> TuneResult:
+    from tpusparse.bench.harness import gflops as _gflops, time_fn
+    from tpusparse.oracle import check_result, spmm_reference
+
+    import jax.numpy as jnp
+
+    cfg = get_config()
+    x = jnp.asarray(x)
+    k = x.shape[1]
+    sig = matrix_signature(mat)
+    cache_file = os.path.join(cfg.cache_dir, f"tune_{sig}_k{k}.json")
+
+    if candidates is None:
+        candidates = default_candidates(mat, k)
+        if use_cache and os.path.exists(cache_file):
+            try:
+                with open(cache_file) as f:
+                    cached = Schedule(**json.load(f)["schedule"])
+                candidates = [cached] + [c for c in candidates if c != cached]
+            except Exception:
+                pass
+
+    want = spmm_reference(mat, np.asarray(x, dtype=np.float64)) if validate else None
+    table: list[dict] = []
+    best = None
+    for sched in candidates:
+        row = {"schedule": sched.describe(), "matrix": sig, "k": k}
+        try:
+            plan = build_plan(mat, sched, interpret=interpret)
+            if validate:
+                y = np.asarray(plan(x))
+                tol = rtol
+                if tol is None:
+                    tol = 2e-3 if sched.precision == "fp32x2" else (
+                        cfg.tol_bf16 if sched.precision == "bf16" else cfg.tol_fp32
+                    )
+                check_result(y, want, rtol=tol)
+            if plan.meta["padding_rate"] > cfg.padding_rate_up_bound:
+                raise RuntimeError(
+                    f"padding rate {plan.meta['padding_rate']:.2f} exceeds bound"
+                )
+            sec = time_fn(plan.fn, x, iters=iters, warmup=1)
+            g = _gflops(mat.nnz, k, sec, cfg.float_rate)
+            if g > cfg.gflops_up_bound:  # plausibility guard (executor.cc:51-55)
+                raise RuntimeError(f"implausible {g:.1f} GFLOP/s > bound")
+            row.update(seconds=sec, gflops=g, padding_rate=plan.meta["padding_rate"], ok=True)
+            if best is None or sec < best[1]:
+                best = (plan, sec, sched)
+        except Exception as e:
+            row.update(ok=False, error=f"{type(e).__name__}: {e}")
+        row["ts"] = time.time()
+        table.append(row)
+
+    if results_path is None:
+        os.makedirs(cfg.cache_dir, exist_ok=True)
+        results_path = os.path.join(cfg.cache_dir, "results.jsonl")
+    with open(results_path, "a") as f:
+        for row in table:
+            f.write(json.dumps(row) + "\n")
+
+    if best is None:
+        raise RuntimeError(f"no schedule candidate succeeded: {table}")
+    plan, sec, sched = best
+    if use_cache:
+        os.makedirs(cfg.cache_dir, exist_ok=True)
+        with open(cache_file, "w") as f:
+            json.dump({"schedule": sched.describe(), "seconds": sec}, f)
+    return TuneResult(best=plan, best_schedule=sched, best_seconds=sec, table=table)
