@@ -1,0 +1,64 @@
+"""Block-ELL (BSR) MXU dense-tile kernel."""
+
+import numpy as np
+import pytest
+
+from tpusparse.io import builder
+from tpusparse.kernels.block_ell import block_ell_spmm, pack_block_ell
+
+
+def _case(m=384, n=512, bs=128, density=0.2, k=32, seed=0):
+    mat = builder.block_sparse_coo(m, n, block=bs, block_density=density, seed=seed)
+    x = np.random.default_rng(seed + 1).standard_normal((n, k)).astype(np.float32)
+    return mat, x
+
+
+def test_pack_block_ell_roundtrip():
+    mat, _ = _case()
+    fmt = pack_block_ell(mat, bs=128)
+    dense = mat.to_dense(np.float32)
+    rec = np.zeros((fmt.mb * fmt.bs, ((mat.shape[1] + fmt.bs - 1) // fmt.bs) * fmt.bs), np.float32)
+    blkcol = np.asarray(fmt.blkcol)
+    blkvals = np.asarray(fmt.blkvals, dtype=np.float32)
+    for i in range(fmt.mb):
+        for j in range(fmt.bmax):
+            rec[i * fmt.bs:(i + 1) * fmt.bs,
+                blkcol[i, j] * fmt.bs:(blkcol[i, j] + 1) * fmt.bs] += blkvals[i, j]
+    np.testing.assert_allclose(rec[:mat.shape[0], :mat.shape[1]], dense)
+
+
+@pytest.mark.parametrize("bs", [128, 64])
+def test_block_ell_spmm_fp32(bs):
+    mat, x = _case(bs=bs if bs == 128 else 128)  # pattern blocks 128; pack blocks bs
+    fmt = pack_block_ell(mat, bs=bs)
+    y = np.asarray(block_ell_spmm(fmt, x, precision="fp32"))
+    want = mat.to_dense(np.float64) @ x.astype(np.float64)
+    np.testing.assert_allclose(y, want, rtol=1e-4, atol=1e-3)
+
+
+def test_block_ell_spmm_bf16():
+    mat, x = _case(k=200)
+    fmt = pack_block_ell(mat, bs=128, dtype="bfloat16")
+    y = np.asarray(block_ell_spmm(fmt, x, precision="bf16"))
+    want = mat.to_dense(np.float64) @ x.astype(np.float64)
+    err = np.abs(y - want).max() / max(np.abs(want).max(), 1e-30)
+    assert err < 1e-2, f"bf16 rel err {err}"
+
+
+def test_block_ell_odd_shapes():
+    # m, n not multiples of bs; k not multiple of ktile
+    mat, _ = _case(m=300, n=450, k=8)
+    x = np.random.default_rng(3).standard_normal((450, 8)).astype(np.float32)
+    fmt = pack_block_ell(mat, bs=128)
+    y = np.asarray(block_ell_spmm(fmt, x, precision="fp32"))
+    want = mat.to_dense(np.float64) @ x.astype(np.float64)
+    np.testing.assert_allclose(y, want, rtol=1e-4, atol=1e-3)
+
+
+def test_block_ell_empty_rowblocks():
+    # a matrix with an entirely empty row-block region
+    mat, x = _case(m=512, density=0.08, seed=5)
+    fmt = pack_block_ell(mat, bs=128)
+    y = np.asarray(block_ell_spmm(fmt, x, precision="fp32"))
+    want = mat.to_dense(np.float64) @ x.astype(np.float64)
+    np.testing.assert_allclose(y, want, rtol=1e-4, atol=1e-3)
