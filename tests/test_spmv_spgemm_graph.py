@@ -1,0 +1,109 @@
+"""SpMV, SpGEMM, and semiring/graph algorithms."""
+
+import numpy as np
+import pytest
+
+from tpusparse.config import config_override
+from tpusparse.graph import bfs, connected_components, pagerank, semiring_spmv
+from tpusparse.io import builder
+from tpusparse.io.mtx import CooMatrix
+from tpusparse.oracle import spgemm_reference, spmm_reference, spmv_reference
+from tpusparse.spgemm import spgemm
+from tpusparse.spmv import spmv
+
+
+@pytest.mark.parametrize("method", ["segment", "stripe"])
+def test_spmv(method, small_coo):
+    x = np.random.default_rng(0).standard_normal(small_coo.shape[1]).astype(np.float32)
+    y = np.asarray(spmv(small_coo, x, method=method))
+    want = spmv_reference(small_coo, x.astype(np.float64))
+    np.testing.assert_allclose(y, want, rtol=1e-4, atol=1e-4)
+
+
+def test_spgemm_matches_scipy():
+    a = builder.power_law_coo(120, 90, avg_nnz_per_row=5.0, seed=1)
+    b = builder.power_law_coo(90, 150, avg_nnz_per_row=4.0, seed=2)
+    c = spgemm(a, b)
+    want = spgemm_reference(a, b)
+    np.testing.assert_allclose(
+        c.to_dense(np.float64), want.to_dense(np.float64), rtol=1e-4, atol=1e-4
+    )
+    # structural zeros must not appear
+    want_dense = want.to_dense(np.float64)
+    got_dense = c.to_dense(np.float64)
+    assert np.all((got_dense != 0) <= (want_dense != 0) | (np.abs(got_dense) < 1e-6))
+
+
+def test_spgemm_tiled():
+    a = builder.uniform_coo(64, 80, nnz_per_row=6, seed=3)
+    b = builder.uniform_coo(80, 700, nnz_per_row=3, seed=4)
+    c = spgemm(a, b, tile_cols=256)
+    want = spgemm_reference(a, b)
+    np.testing.assert_allclose(
+        c.to_dense(np.float64), want.to_dense(np.float64), rtol=1e-4, atol=1e-4
+    )
+
+
+def _path_graph(n):
+    """Directed path 0->1->...->n-1 in push orientation ((u,v) = edge v->u)."""
+    src = np.arange(n - 1, dtype=np.int64)
+    return CooMatrix(src + 1, src, np.ones(n - 1), (n, n)).sort_row_major()
+
+
+def test_semiring_spmv_matches_oracle(small_coo):
+    x = np.random.default_rng(1).standard_normal(small_coo.shape[1])
+    for sr in ("plus_times", "min_plus"):
+        got = np.asarray(semiring_spmv(small_coo, x, sr), dtype=np.float64)
+        want = spmm_reference(small_coo, x, semiring=sr)
+        finite = np.isfinite(want)
+        np.testing.assert_allclose(got[finite], want[finite], rtol=1e-4, atol=1e-4)
+        assert np.all(np.isinf(got) == np.isinf(want))
+    xb = np.random.default_rng(2).random(small_coo.shape[1]) > 0.5
+    got = np.asarray(semiring_spmv(small_coo, xb, "or_and"))
+    want = spmm_reference(small_coo, xb, semiring="or_and")
+    np.testing.assert_array_equal(got, want)
+
+
+def test_bfs_path():
+    n = 12
+    level = bfs(_path_graph(n), source=0)
+    np.testing.assert_array_equal(level, np.arange(n))
+
+
+def test_bfs_unreachable():
+    # two disjoint paths; start in the first
+    g = _path_graph(6)
+    rows = np.concatenate([g.rows, [8, 9]])
+    cols = np.concatenate([g.cols, [7, 8]])
+    mat = CooMatrix(rows, cols, np.ones(rows.size), (10, 10)).sort_row_major()
+    level = bfs(mat, source=0)
+    assert list(level[:6]) == [0, 1, 2, 3, 4, 5]
+    assert all(level[6:] == -1)
+
+
+def test_pagerank_uniform_on_cycle():
+    n = 8
+    src = np.arange(n, dtype=np.int64)
+    mat = CooMatrix((src + 1) % n, src, np.ones(n), (n, n)).sort_row_major()
+    r = pagerank(mat, tol=1e-10)
+    np.testing.assert_allclose(r, np.full(n, 1.0 / n), rtol=1e-4)
+    np.testing.assert_allclose(r.sum(), 1.0, rtol=1e-4)
+
+
+def test_connected_components():
+    # components {0,1,2}, {3,4}, {5}
+    rows = np.array([0, 1, 3], dtype=np.int64)
+    cols = np.array([1, 2, 4], dtype=np.int64)
+    mat = CooMatrix(rows, cols, np.ones(3), (6, 6)).sort_row_major()
+    label = connected_components(mat)
+    assert label[0] == label[1] == label[2]
+    assert label[3] == label[4]
+    assert label[5] == 5
+    assert label[0] != label[3]
+
+
+def test_graph_config_hooks():
+    with config_override(performance_flag="graph", graph_algorithm="bfs", graph_max_iter=3):
+        # max_iter truncates traversal
+        level = bfs(_path_graph(10), source=0)
+        assert level.max() == 3 and np.sum(level >= 0) == 4

@@ -1,0 +1,160 @@
+"""Graph algorithms over semiring SpMV (reference graph mode).
+
+The reference carries config hooks ``PERFORMANCE_FLAG=graph``, ``Semiring``,
+``Graph_Algorithm`` (bfs|pr|cc), ``GRAPH_MAX_ITER`` and prepares matrices for
+them in its loader (struct.cc:53-75: transpose for BFS/PageRank push
+traversal, value-drop + dedup for CC) but leaves the kernels unwired
+(SURVEY §3.4).  Here the full path works: semiring SpMV on device + the
+three iterative drivers, jit-compiled with ``lax.while_loop`` so traversal
+runs entirely on-chip.
+
+Semirings (combine, reduce):
+  plus_times  (*, +)       numeric SpMV
+  or_and      (&, |)       frontier propagation (BFS)
+  min_plus    (+, min)     shortest paths / label propagation (CC uses
+                           (second, min): neighbor label min)
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpusparse.config import get_config
+from tpusparse.io.mtx import CooMatrix
+
+SEMIRINGS = ("plus_times", "min_plus", "or_and")
+
+_INF = jnp.float32(jnp.inf)
+
+
+@functools.partial(jax.jit, static_argnames=("semiring", "m"))
+def _semiring_spmv(rows, cols, vals, x, *, semiring, m):
+    xc = jnp.take(x, cols, axis=0)
+    if semiring == "plus_times":
+        return jax.ops.segment_sum(vals * xc, rows, num_segments=m)
+    if semiring == "min_plus":
+        return jax.ops.segment_min(vals + xc, rows, num_segments=m)
+    if semiring == "or_and":
+        hit = jnp.logical_and(vals != 0, xc).astype(jnp.int32)
+        # empty segments fill with INT_MIN, so test > 0 rather than casting
+        return jax.ops.segment_max(hit, rows, num_segments=m) > 0
+    raise ValueError(f"unknown semiring {semiring!r}")
+
+
+def semiring_spmv(mat: CooMatrix, x, semiring: str | None = None):
+    """y[M] = A (combine) x reduced per row under the semiring."""
+    if semiring is None:
+        semiring = get_config().semiring
+    assert semiring in SEMIRINGS, semiring
+    rows = jnp.asarray(mat.rows, jnp.int32)
+    cols = jnp.asarray(mat.cols, jnp.int32)
+    if semiring == "or_and":
+        vals = jnp.asarray(mat.vals != 0)
+        x = jnp.asarray(x, bool)
+    else:
+        vals = jnp.asarray(mat.vals, jnp.float32)
+        x = jnp.asarray(x, jnp.float32)
+    return _semiring_spmv(rows, cols, vals, x, semiring=semiring, m=mat.shape[0])
+
+
+def bfs(mat: CooMatrix, source: int, max_iter: int | None = None) -> np.ndarray:
+    """Level array (-1 = unreachable) by frontier propagation with or_and.
+
+    ``mat`` should be the *push* orientation: entry (u, v) means edge v->u,
+    i.e. the transposed adjacency that ``read_mtx(graph_mode='bfs')``
+    produces (struct.cc graph loader).
+    """
+    n = mat.shape[0]
+    assert mat.shape[0] == mat.shape[1], "BFS needs a square adjacency"
+    if max_iter is None:
+        max_iter = min(get_config().graph_max_iter, n)
+    rows = jnp.asarray(mat.rows, jnp.int32)
+    cols = jnp.asarray(mat.cols, jnp.int32)
+    ones = jnp.ones(mat.nnz, dtype=bool)
+
+    def cond(state):
+        level, frontier, it = state
+        return jnp.logical_and(frontier.any(), it < max_iter)
+
+    def body(state):
+        level, frontier, it = state
+        nxt = _semiring_spmv(rows, cols, ones, frontier, semiring="or_and", m=n)
+        nxt = jnp.logical_and(nxt, level < 0)
+        level = jnp.where(nxt, it + 1, level)
+        return level, nxt, it + 1
+
+    level0 = jnp.full((n,), -1, jnp.int32).at[source].set(0)
+    frontier0 = jnp.zeros((n,), bool).at[source].set(True)
+    level, _, _ = jax.lax.while_loop(cond, body, (level0, frontier0, jnp.int32(0)))
+    return np.asarray(level)
+
+
+def pagerank(
+    mat: CooMatrix,
+    damping: float = 0.85,
+    tol: float = 1e-6,
+    max_iter: int | None = None,
+) -> np.ndarray:
+    """Power iteration.  ``mat`` in push orientation (entry (u, v) = edge
+    v->u); dangling mass is redistributed uniformly."""
+    n = mat.shape[0]
+    assert mat.shape[0] == mat.shape[1]
+    if max_iter is None:
+        max_iter = get_config().graph_max_iter
+    # out-degree of v = number of entries with col v (push orientation)
+    deg = np.bincount(mat.cols, minlength=n).astype(np.float32)
+    inv_deg = np.where(deg > 0, 1.0 / np.maximum(deg, 1), 0.0)
+    rows = jnp.asarray(mat.rows, jnp.int32)
+    cols = jnp.asarray(mat.cols, jnp.int32)
+    vals = jnp.asarray(np.ones(mat.nnz, np.float32) * inv_deg[mat.cols])
+    dangling = jnp.asarray(deg == 0)
+
+    def cond(state):
+        r, delta, it = state
+        return jnp.logical_and(delta > tol, it < max_iter)
+
+    def body(state):
+        r, _, it = state
+        spread = _semiring_spmv(rows, cols, vals, r, semiring="plus_times", m=n)
+        dangle = jnp.where(dangling, r, 0.0).sum() / n
+        nxt = (1.0 - damping) / n + damping * (spread + dangle)
+        return nxt, jnp.abs(nxt - r).sum(), it + 1
+
+    r0 = jnp.full((n,), 1.0 / n, jnp.float32)
+    r, _, _ = jax.lax.while_loop(cond, body, (r0, jnp.float32(jnp.inf), jnp.int32(0)))
+    return np.asarray(r)
+
+
+def connected_components(mat: CooMatrix, max_iter: int | None = None) -> np.ndarray:
+    """Component label per vertex (= min vertex id in its component) by min
+    label propagation; edges treated as undirected (matrix symmetrized).
+    ``read_mtx(graph_mode='cc')`` provides the value-dropped dedup input."""
+    n = mat.shape[0]
+    assert mat.shape[0] == mat.shape[1]
+    if max_iter is None:
+        max_iter = min(get_config().graph_max_iter, n)
+    rows_np = np.concatenate([mat.rows, mat.cols])
+    cols_np = np.concatenate([mat.cols, mat.rows])
+    rows = jnp.asarray(rows_np, jnp.int32)
+    cols = jnp.asarray(cols_np, jnp.int32)
+
+    def cond(state):
+        label, changed, it = state
+        return jnp.logical_and(changed, it < max_iter)
+
+    def body(state):
+        label, _, it = state
+        neigh = jax.ops.segment_min(
+            jnp.take(label, cols), rows, num_segments=n,
+            indices_are_sorted=False,
+        )
+        nxt = jnp.minimum(label, neigh)
+        return nxt, (nxt != label).any(), it + 1
+
+    label0 = jnp.arange(n, dtype=jnp.int32)
+    label, _, _ = jax.lax.while_loop(cond, body, (label0, jnp.bool_(True), jnp.int32(0)))
+    return np.asarray(label)

@@ -1,0 +1,72 @@
+"""SpGEMM: C = A . B with both operands sparse (north-star extension; the
+reference is SpMM-only).
+
+TPU-native formulation: there is no efficient dynamic-output scatter on TPU,
+so SpGEMM runs as *tiled dense-intermediate* SpMM — stream column tiles of B,
+densify each tile (cheap: one host scatter per tile), multiply through a
+packed SpMM plan for A (MXU path), and re-sparsify the dense result tile.
+This keeps every device op static-shaped and MXU-friendly; the sparse-sparse
+"merge" the GPU literature hand-codes becomes format preparation.
+
+Entries that are structurally zero stay exactly 0.0 through every kernel
+family (0-valued padding contributes 0·x), so re-sparsification by
+``!= 0`` recovers the exact structural pattern; numerically cancelled
+entries may survive as explicit near-zeros (matching scipy's behavior of
+keeping explicit zeros from cancellation — callers can pass ``threshold``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from tpusparse.io.mtx import CooMatrix
+
+
+def spgemm(
+    a: CooMatrix,
+    b: CooMatrix,
+    *,
+    tile_cols: int = 1024,
+    plan=None,
+    threshold: float = 0.0,
+) -> CooMatrix:
+    """C[M, P] = A[M, N] . B[N, P]; returns COO, row-major sorted."""
+    m, n = a.shape
+    nb, p = b.shape
+    assert n == nb, f"inner dims mismatch: A cols {n} != B rows {nb}"
+    if plan is None:
+        from tpusparse.generator import build_tile_plan
+
+        plan = build_tile_plan(a, precision="fp32")
+
+    # column-sliceable view of B
+    order = np.argsort(b.cols, kind="stable")
+    b_rows = b.rows[order]
+    b_cols = b.cols[order]
+    b_vals = b.vals[order].astype(np.float32)
+    tile_starts = np.searchsorted(b_cols, np.arange(0, p + tile_cols, tile_cols))
+
+    out_rows, out_cols, out_vals = [], [], []
+    for t0 in range(0, p, tile_cols):
+        ti = t0 // tile_cols
+        lo, hi = tile_starts[ti], tile_starts[ti + 1]
+        width = min(tile_cols, p - t0)
+        xt = np.zeros((n, width), dtype=np.float32)
+        xt[b_rows[lo:hi], b_cols[lo:hi] - t0] = b_vals[lo:hi]
+        yt = np.asarray(plan(xt))
+        keep = np.abs(yt) > threshold if threshold > 0 else yt != 0
+        r, c = np.nonzero(keep)
+        out_rows.append(r.astype(np.int64))
+        out_cols.append((c + t0).astype(np.int64))
+        out_vals.append(yt[r, c].astype(np.float64))
+
+    if not out_rows:
+        return CooMatrix(
+            np.empty(0, np.int64), np.empty(0, np.int64), np.empty(0, np.float64), (m, p)
+        )
+    return CooMatrix(
+        np.concatenate(out_rows),
+        np.concatenate(out_cols),
+        np.concatenate(out_vals),
+        (m, p),
+    ).sort_row_major()

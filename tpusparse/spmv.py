@@ -1,0 +1,65 @@
+"""SpMV: y[M] = A . x[N]  (BASELINE.json north-star extension; the
+reference's K=1 ``__ldg`` path, total_BMT_...token.cc K=1 branch).
+
+TPU-native methods:
+
+  'segment'  XLA formulation: contrib = vals * take(x, cols) followed by
+             segment_sum over rows.  SpMV is memory-bound (8 idx+val bytes
+             per nz dominate); XLA's fused gather + scatter-add runs at
+             HBM-bandwidth on TPU without a per-nz scalar loop, which a
+             Pallas kernel cannot beat at K=1 because the MXU/VPU lanes
+             cannot be filled by a single dense column.
+  'stripe'   the Pallas stripe kernel with x widened to the 8-sublane
+             minimum — useful when the stripe format is already resident
+             (amortized with SpMM calls on the same matrix).
+  'auto'     'segment'.
+
+Both validate against oracle.spmv_reference.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpusparse.io.mtx import CooMatrix
+
+
+@functools.partial(jax.jit, static_argnames=("m",))
+def _segment_spmv(rows, cols, vals, x, *, m):
+    contrib = vals * jnp.take(x, cols, axis=0)
+    return jax.ops.segment_sum(contrib, rows, num_segments=m)
+
+
+def spmv_fn(mat: CooMatrix, method: str = "auto"):
+    """Returns a jitted ``fn(x[N]) -> y[M]`` for repeated application."""
+    m, n = mat.shape
+    if method in ("auto", "segment"):
+        rows = jnp.asarray(mat.rows, jnp.int32)
+        cols = jnp.asarray(mat.cols, jnp.int32)
+        vals = jnp.asarray(mat.vals, jnp.float32)
+
+        def fn(x):
+            assert x.shape == (n,), f"x shape {x.shape} != ({n},)"
+            return _segment_spmv(rows, cols, vals, jnp.asarray(x, jnp.float32), m=m)
+
+        return fn
+    if method == "stripe":
+        from tpusparse.generator import build_stripe_plan
+
+        plan = build_stripe_plan(mat, work_per_stripe=1024, unroll=8)
+
+        def fn(x):
+            assert x.shape == (n,), f"x shape {x.shape} != ({n},)"
+            xw = jnp.broadcast_to(jnp.asarray(x, jnp.float32)[:, None], (n, 8))
+            return plan(xw)[:, 0]
+
+        return fn
+    raise ValueError(f"unknown spmv method {method!r}")
+
+
+def spmv(mat: CooMatrix, x, method: str = "auto"):
+    return spmv_fn(mat, method)(jnp.asarray(x))
