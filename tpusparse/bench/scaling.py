@@ -1,0 +1,81 @@
+"""Multi-device scaling-efficiency harness (BASELINE.json config #5:
+">= 80% nnz/s scaling efficiency at 1 chip -> 1 host -> N hosts").
+
+Measures nnz/s of the ring-overlapped halo SpMM at device counts
+1, 2, 4, ... over whatever mesh is available (virtual CPU devices under
+--xla_force_host_platform_device_count for CI; real chips on a pod slice)
+and reports efficiency = nnz_per_s(D) / (D * nnz_per_s(1)).
+
+Run: python -m tpusparse.bench.scaling [m] [n] [k] [avg_nnz]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+import numpy as np
+
+
+def measure_scaling(
+    m: int = 8192,
+    n: int = 8192,
+    k: int = 32,
+    avg_nnz_per_row: float = 32.0,
+    device_counts=None,
+    iters: int = 10,
+    seed: int = 0,
+):
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+
+    from tpusparse.bench.harness import time_fn
+    from tpusparse.dist.overlap import build_halo_spmm, pack_halo_stripe
+    from tpusparse.io import builder
+    from tpusparse.oracle import check_result, spmm_reference
+
+    n_avail = len(jax.devices())
+    if device_counts is None:
+        device_counts = [d for d in (1, 2, 4, 8, 16, 32) if d <= n_avail]
+    mat = builder.power_law_coo(m, n, avg_nnz_per_row=avg_nnz_per_row, seed=seed)
+    x = np.random.default_rng(seed + 1).standard_normal((n, k)).astype(np.float32)
+    want = spmm_reference(mat, x.astype(np.float64))
+
+    rows = []
+    base = None
+    for d in device_counts:
+        fmt = pack_halo_stripe(mat, d, rows_per_stripe=64)
+        mesh = Mesh(np.array(jax.devices()[:d]), ("rows",))
+        fn, put_inputs = build_halo_spmm(fmt, mesh)
+        args = put_inputs(jnp.asarray(x))
+        y = np.asarray(fn(*args))[:, :k]
+        check_result(y, want, rtol=1e-3)
+
+        sec = time_fn(lambda xs, a=args: fn(a[0], a[1], a[2], a[3], xs), args[4], iters=iters)
+        nnz_per_s = mat.nnz / sec
+        if base is None:
+            base = nnz_per_s
+        eff = nnz_per_s / (d * base)
+        rows.append({
+            "devices": d,
+            "seconds": sec,
+            "nnz_per_s": nnz_per_s,
+            "efficiency": eff,
+            "padding_rate": fmt.padding_rate,
+        })
+    return rows
+
+
+def main():
+    args = [int(a) for a in sys.argv[1:5]]
+    kwargs = dict(zip(("m", "n", "k"), args[:3]))
+    if len(args) > 3:
+        kwargs["avg_nnz_per_row"] = float(args[3])
+    rows = measure_scaling(**kwargs)
+    for r in rows:
+        print(json.dumps(r))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,213 @@
+"""Multi-host SpMM with overlapped halo exchange (BASELINE.json config #5).
+
+Strategy (north star; no reference counterpart — GeneralSparse is single
+GPU): row-partition A over the mesh axis 'rows' AND shard the dense X by its
+rows (the contraction dim).  Each device then needs every X chunk once, so
+the chunks travel a `lax.ppermute` ring: at step s, device d multiplies its
+local sub-format for column-chunk ((d - s) mod D) against the chunk it
+currently holds while the next chunk is already in flight — XLA schedules
+the ppermute and the Pallas stripe kernel concurrently because both depend
+only on the current carry ("overlapped halo all-gather").
+
+Format (HaloStripeFormat): the device's rows are cut into fixed row-interval
+stripes *shared across chunks*, so per-chunk partial products accumulate
+into the same (stripe, row) slots with no reshuffle:
+
+  cols [D, C, P, 1, Cnz]  chunk-local column index      (C = D chunks)
+  lrow [D, C, P, 1, Cnz]  stripe-local row index
+  vals [D, C, P, 1, Cnz]
+  slot_of_origrow [M]     (d * P + p) * RB + r  output recovery gather
+
+Cnz is the max nnz over all (device, chunk, stripe) — the multi-chip
+analogue of the reference's padding-for-uniform-work (SURVEY §7 hard parts:
+"double-buffered all-gather chunks vs Pallas kernel granularity").
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from tpusparse.io.mtx import CooMatrix
+from tpusparse.kernels.common import kernel_backend_interpret, round_up
+
+
+@dataclasses.dataclass
+class HaloStripeFormat:
+    cols: Any  # [D, C, P, 1, Cnz] int32 (chunk-local)
+    lrow: Any  # [D, C, P, 1, Cnz] int32 (stripe-local)
+    vals: Any  # [D, C, P, 1, Cnz] f32
+    slot_of_origrow: Any  # [M] int32
+    shape: tuple[int, int]
+    n_devices: int
+    stripes_per_device: int
+    rb: int            # rows per stripe
+    stripe_nnz: int    # Cnz
+    n_chunk_rows: int  # X rows per chunk (= padded N / D)
+
+    @property
+    def padding_rate(self) -> float:
+        total = self.n_devices ** 2 * self.stripes_per_device * self.stripe_nnz
+        nnz = int(np.count_nonzero(np.asarray(self.vals)))
+        return total / max(nnz, 1)
+
+
+def pack_halo_stripe(
+    mat: CooMatrix,
+    n_devices: int,
+    *,
+    rows_per_stripe: int = 64,
+    nnz_multiple: int = 8,
+) -> HaloStripeFormat:
+    """Pack for the D-device ring.  Rows are dealt to devices in contiguous
+    balanced-nnz ranges; each device's range is cut into fixed
+    ``rows_per_stripe`` stripes shared by all column chunks."""
+    m, n = mat.shape
+    d = n_devices
+    rb = rows_per_stripe
+    rows = np.asarray(mat.rows)
+    cols = np.asarray(mat.cols)
+    vals = np.asarray(mat.vals, dtype=np.float32)
+
+    # balanced-nnz contiguous row partition over devices (merge-path style)
+    row_ptr = mat.to_csr_ptr()
+    targets = (np.arange(1, d) * mat.nnz) // d
+    cut_rows = np.searchsorted(row_ptr, targets, side="left")
+    bounds = np.concatenate([[0], cut_rows, [m]]).astype(np.int64)
+    bounds = np.maximum.accumulate(bounds)
+
+    # chunk rows padded to the 8-row sublane multiple so X chunks tile cleanly
+    n_chunk_rows = round_up(-(-max(n, 1) // d), 8)
+    p_per_dev = max(int(np.max(np.diff(bounds), initial=1) + rb - 1) // rb, 1)
+
+    # bucket nz by (device, chunk, stripe)
+    dev_of_nz = np.searchsorted(bounds, rows, side="right") - 1
+    local_row = rows - bounds[dev_of_nz]
+    stripe_of_nz = local_row // rb
+    lrow_of_nz = local_row % rb
+    chunk_of_nz = cols // n_chunk_rows
+    lcol_of_nz = cols % n_chunk_rows
+
+    key = (dev_of_nz * d + chunk_of_nz) * p_per_dev + stripe_of_nz
+    order = np.argsort(key, kind="stable")
+    key_s = key[order]
+    counts = np.bincount(key_s, minlength=d * d * p_per_dev)
+    cnz = round_up(max(int(counts.max(initial=1)), 1), max(nnz_multiple, 1))
+
+    buckets = d * d * p_per_dev
+    out_cols = np.zeros((buckets, cnz), dtype=np.int32)
+    out_lrow = np.zeros((buckets, cnz), dtype=np.int32)
+    out_vals = np.zeros((buckets, cnz), dtype=np.float32)
+    offs = np.zeros(buckets + 1, dtype=np.int64)
+    np.cumsum(counts, out=offs[1:])
+    pos = np.arange(key_s.size) - offs[key_s]
+    out_cols[key_s, pos] = lcol_of_nz[order]
+    out_lrow[key_s, pos] = lrow_of_nz[order]
+    out_vals[key_s, pos] = vals[order]
+
+    shape5 = (d, d, p_per_dev, 1, cnz)
+    slot = np.full(m, -1, dtype=np.int32)
+    r = np.arange(m)
+    dev_of_row = np.searchsorted(bounds, r, side="right") - 1
+    lr = r - bounds[dev_of_row]
+    slot[:] = (dev_of_row * p_per_dev + lr // rb) * rb + lr % rb
+
+    return HaloStripeFormat(
+        cols=jnp.asarray(out_cols.reshape(shape5)),
+        lrow=jnp.asarray(out_lrow.reshape(shape5)),
+        vals=jnp.asarray(out_vals.reshape(shape5)),
+        slot_of_origrow=jnp.asarray(slot),
+        shape=(m, n),
+        n_devices=d,
+        stripes_per_device=p_per_dev,
+        rb=rb,
+        stripe_nnz=cnz,
+        n_chunk_rows=n_chunk_rows,
+    )
+
+
+def build_halo_spmm(
+    fmt: HaloStripeFormat,
+    mesh: Mesh,
+    *,
+    ktile: int | None = None,
+    unroll: int = 8,
+    interpret: bool | None = None,
+):
+    """Returns (fn, put_inputs): ``fn(cols, lrow, vals, slot, x)`` jitted over
+    ``mesh`` axis 'rows' with the ring-overlapped halo exchange of X."""
+    from tpusparse.kernels.stripe_gather import _stripe_call
+
+    if interpret is None:
+        interpret = kernel_backend_interpret()
+    d = fmt.n_devices
+    assert mesh.shape["rows"] == d, (mesh.shape, d)
+    p_loc = fmt.stripes_per_device
+    rb = fmt.rb
+    cnz = fmt.stripe_nnz
+    perm = [(i, (i + 1) % d) for i in range(d)]
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P("rows"), P("rows"), P("rows"), P("rows", None)),
+        out_specs=P("rows", None),
+        check_vma=False,
+    )
+    def ring_kernel(cols, lrow, vals, x_chunk):
+        # local leading dim 1 after sharding: [1, C, P, 1, Cnz]
+        cols, lrow, vals = cols[0], lrow[0], vals[0]
+        me = jax.lax.axis_index("rows")
+        kt = x_chunk.shape[1] if x_chunk.shape[1] <= 128 else 128
+        if ktile is not None:
+            kt = ktile
+        u = unroll if cnz % unroll == 0 else 1
+
+        def step(s, carry):
+            x_cur, y = carry
+            # next chunk already in flight while we compute on x_cur
+            x_next = jax.lax.ppermute(x_cur, "rows", perm)
+            chunk = jax.lax.rem(me - s + d, d)
+            sub_c = jax.lax.dynamic_index_in_dim(cols, chunk, 0, keepdims=False)
+            sub_r = jax.lax.dynamic_index_in_dim(lrow, chunk, 0, keepdims=False)
+            sub_v = jax.lax.dynamic_index_in_dim(vals, chunk, 0, keepdims=False)
+            part = _stripe_call(
+                sub_c, sub_r, sub_v, x_cur,
+                n_stripes=p_loc, stripe_nnz=cnz, rb=rb,
+                ktile=kt, unroll=u, interpret=interpret,
+            )
+            return x_next, y + part
+
+        k_pad = x_chunk.shape[1]
+        y0 = jnp.zeros((p_loc * rb, ((k_pad + kt - 1) // kt) * kt), jnp.float32)
+        _, y = jax.lax.fori_loop(0, d, step, (x_chunk, y0))
+        return y[:, :k_pad]
+
+    @jax.jit
+    def fn(cols, lrow, vals, slot, x):
+        y_slots = ring_kernel(cols, lrow, vals, x)
+        oob = y_slots.shape[0]
+        slot = jnp.where(slot < 0, oob, slot)
+        return jnp.take(y_slots, slot, axis=0, mode="fill", fill_value=0)
+
+    def put_inputs(x):
+        n_pad = d * fmt.n_chunk_rows
+        x = jnp.asarray(x, jnp.float32)
+        if x.shape[0] < n_pad:
+            x = jnp.pad(x, ((0, n_pad - x.shape[0]), (0, 0)))
+        row5 = NamedSharding(mesh, P("rows", None, None, None, None))
+        return (
+            jax.device_put(fmt.cols, row5),
+            jax.device_put(fmt.lrow, row5),
+            jax.device_put(fmt.vals, row5),
+            jax.device_put(fmt.slot_of_origrow, NamedSharding(mesh, P())),
+            jax.device_put(x, NamedSharding(mesh, P("rows", None))),
+        )
+
+    return fn, put_inputs
