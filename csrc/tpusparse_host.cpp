@@ -1,0 +1,236 @@
+// tpusparse native host library.
+//
+// The reference's entire host runtime is C++ (matrix I/O struct.cc, the
+// O(nnz) transform-step walks in transform_step/, format output
+// metadata_set.cc:517-571).  This library is the TPU build's native
+// equivalent for the host-side hot paths; the Python layer calls it through
+// ctypes (tpusparse/native.py) and falls back to numpy when the .so is
+// absent.  C ABI throughout; all buffers malloc'd here are released with
+// ts_free.
+//
+// Components:
+//   ts_parse_mtx        Matrix-Market / bare-COO loader (struct.cc:49-130
+//                       surface: %comments, banner, pattern/symmetric,
+//                       1-based -> 0-based), row-major sorted on return.
+//   ts_merge_path_cuts  CUB-style merge-path equal-work partition
+//                       (transform_step/get_begin_rows_of_level_after_
+//                       merge_path.cc semantics, binary-search form).
+//   ts_bucket_pack      counting-sort scatter of (a, b, v) payloads into
+//                       padded [n_buckets, cap] slots — the packing step
+//                       behind stripe/halo formats.
+
+#include <algorithm>
+#include <cctype>
+#include <cstdint>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <vector>
+
+extern "C" {
+
+void ts_free(void* p) { free(p); }
+
+// ---------------------------------------------------------------------------
+// Matrix-Market parser
+// ---------------------------------------------------------------------------
+
+static inline const char* skip_ws(const char* p, const char* end) {
+  while (p < end && (*p == ' ' || *p == '\t' || *p == '\r')) ++p;
+  return p;
+}
+
+static inline const char* next_line(const char* p, const char* end) {
+  while (p < end && *p != '\n') ++p;
+  return p < end ? p + 1 : end;
+}
+
+// Parses the file at `path`.  Outputs malloc'd arrays (caller ts_free's).
+// Returns 0 on success, negative error codes otherwise.
+//   -1 open failed   -2 malformed size line   -3 entry out of range
+int ts_parse_mtx(const char* path,
+                 int64_t** out_rows, int64_t** out_cols, double** out_vals,
+                 int64_t* out_m, int64_t* out_n, int64_t* out_nnz) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return -1;
+  fseek(f, 0, SEEK_END);
+  long size = ftell(f);
+  fseek(f, 0, SEEK_SET);
+  std::vector<char> buf((size_t)size + 1);
+  size_t rd = fread(buf.data(), 1, (size_t)size, f);
+  fclose(f);
+  buf[rd] = '\0';
+  const char* p = buf.data();
+  const char* end = buf.data() + rd;
+
+  bool symmetric = false, pattern = false, header_seen = false;
+  bool first = true;
+  int64_t m = -1, n = -1, declared = -1;
+
+  // header + size line
+  while (p < end) {
+    p = skip_ws(p, end);
+    if (p >= end) break;
+    if (*p == '\n') { ++p; continue; }
+    if (*p == '%') {
+      if (first && strncmp(p, "%%MatrixMarket", 14) == 0) {
+        const char* q = p;
+        const char* le = q;
+        while (le < end && *le != '\n') ++le;
+        std::vector<char> line(q, le);
+        line.push_back('\0');
+        for (char& c : line) c = (char)tolower((unsigned char)c);
+        if (strstr(line.data(), "symmetric")) symmetric = true;
+        if (strstr(line.data(), "pattern")) pattern = true;
+        header_seen = true;
+      }
+      first = false;
+      p = next_line(p, end);
+      continue;
+    }
+    first = false;
+    // size line
+    char* q;
+    long long a = strtoll(p, &q, 10);
+    if (q == p) return -2;
+    p = q;
+    long long b = strtoll(p, &q, 10);
+    if (q == p) return -2;
+    p = q;
+    p = skip_ws(p, end);
+    if (p < end && *p != '\n') {
+      long long c = strtoll(p, &q, 10);
+      if (q != p) { declared = c; p = q; }
+    }
+    m = a; n = b;
+    p = next_line(p, end);
+    break;
+  }
+  if (m < 0 || n < 0) return -2;
+
+  size_t reserve = declared > 0 ? (size_t)declared * (symmetric ? 2 : 1) : 1024;
+  std::vector<int64_t> rows, cols;
+  std::vector<double> vals;
+  rows.reserve(reserve); cols.reserve(reserve); vals.reserve(reserve);
+
+  while (p < end) {
+    p = skip_ws(p, end);
+    if (p >= end) break;
+    if (*p == '\n') { ++p; continue; }
+    if (*p == '%') { p = next_line(p, end); continue; }
+    char* q;
+    long long r = strtoll(p, &q, 10);
+    if (q == p) { p = next_line(p, end); continue; }
+    p = q;
+    long long c = strtoll(p, &q, 10);
+    if (q == p) return -2;
+    p = q;
+    double v = 1.0;
+    p = skip_ws(p, end);
+    if (!pattern && p < end && *p != '\n') {
+      v = strtod(p, &q);
+      if (q != p) p = q;
+    }
+    r -= 1; c -= 1;
+    if (r < 0 || r >= m || c < 0 || c >= n) return -3;
+    rows.push_back(r); cols.push_back(c); vals.push_back(v);
+    if (symmetric && r != c) {
+      rows.push_back(c); cols.push_back(r); vals.push_back(v);
+    }
+    p = next_line(p, end);
+  }
+
+  // row-major sort (rows, then cols), stable payload carry
+  int64_t nnz = (int64_t)rows.size();
+  std::vector<int64_t> idx(nnz);
+  for (int64_t i = 0; i < nnz; ++i) idx[i] = i;
+  std::sort(idx.begin(), idx.end(), [&](int64_t x, int64_t y) {
+    if (rows[x] != rows[y]) return rows[x] < rows[y];
+    if (cols[x] != cols[y]) return cols[x] < cols[y];
+    return x < y;
+  });
+
+  int64_t* orows = (int64_t*)malloc(sizeof(int64_t) * (size_t)std::max<int64_t>(nnz, 1));
+  int64_t* ocols = (int64_t*)malloc(sizeof(int64_t) * (size_t)std::max<int64_t>(nnz, 1));
+  double* ovals = (double*)malloc(sizeof(double) * (size_t)std::max<int64_t>(nnz, 1));
+  if (!orows || !ocols || !ovals) { free(orows); free(ocols); free(ovals); return -4; }
+  for (int64_t i = 0; i < nnz; ++i) {
+    orows[i] = rows[idx[i]];
+    ocols[i] = cols[idx[i]];
+    ovals[i] = vals[idx[i]];
+  }
+  *out_rows = orows; *out_cols = ocols; *out_vals = ovals;
+  *out_m = m; *out_n = n; *out_nnz = nnz;
+  return 0;
+}
+
+// ---------------------------------------------------------------------------
+// Merge-path equal-work partition
+// ---------------------------------------------------------------------------
+
+// Cuts the (rows + nnz) merge path every `work` items.  row_ptr has m+1
+// entries.  out_rows/out_nzs must hold n_cuts+1 entries where
+// n_cuts = ceil((m + nnz) / work).  Writes boundary (row, nz) pairs,
+// final entry = (m, nnz).  Returns n_cuts.
+int64_t ts_merge_path_cuts(const int64_t* row_ptr, int64_t m, int64_t nnz,
+                           int64_t work, int64_t* out_rows, int64_t* out_nzs) {
+  int64_t total = m + nnz;
+  int64_t n_cuts = work > 0 ? (total + work - 1) / work : 1;
+  if (n_cuts < 1) n_cuts = 1;
+  for (int64_t i = 0; i <= n_cuts; ++i) {
+    int64_t diag = std::min(i * work, total);
+    // binary search: r = #row-steps taken, z = diag - r = #nz-steps,
+    // invariant row_ptr[r] >= z  <=>  all z nz belong to the first r rows
+    int64_t lo = std::max<int64_t>(0, diag - nnz), hi = std::min(diag, m);
+    while (lo < hi) {
+      int64_t mid = (lo + hi) / 2;
+      if (row_ptr[mid] < diag - mid) lo = mid + 1; else hi = mid;
+    }
+    out_rows[i] = lo;
+    out_nzs[i] = diag - lo;
+  }
+  return n_cuts;
+}
+
+// ---------------------------------------------------------------------------
+// Bucket pack (counting-sort scatter into padded slots)
+// ---------------------------------------------------------------------------
+
+// key[i] in [0, n_buckets): destination bucket of nz i.  Payloads a, b
+// (int32) and v (float) land at out_*[key, slot] where slot is the running
+// count per bucket (stable in input order).  out buffers are
+// [n_buckets * cap], zeroed here.  Returns max bucket occupancy, or -1 if
+// any bucket exceeds cap.
+int64_t ts_bucket_pack(const int64_t* key, int64_t nnz,
+                       int64_t n_buckets, int64_t cap,
+                       const int32_t* a, const int32_t* b, const float* v,
+                       int32_t* out_a, int32_t* out_b, float* out_v) {
+  memset(out_a, 0, sizeof(int32_t) * (size_t)(n_buckets * cap));
+  memset(out_b, 0, sizeof(int32_t) * (size_t)(n_buckets * cap));
+  memset(out_v, 0, sizeof(float) * (size_t)(n_buckets * cap));
+  std::vector<int64_t> fill((size_t)n_buckets, 0);
+  int64_t maxfill = 0;
+  for (int64_t i = 0; i < nnz; ++i) {
+    int64_t kk = key[i];
+    if (kk < 0 || kk >= n_buckets) return -1;
+    int64_t s = fill[(size_t)kk]++;
+    if (s >= cap) return -1;
+    out_a[kk * cap + s] = a[i];
+    out_b[kk * cap + s] = b[i];
+    out_v[kk * cap + s] = v[i];
+    if (fill[(size_t)kk] > maxfill) maxfill = fill[(size_t)kk];
+  }
+  return maxfill;
+}
+
+// Per-bucket occupancy counts (helper for budget sizing before packing).
+void ts_bucket_counts(const int64_t* key, int64_t nnz, int64_t n_buckets,
+                      int64_t* out_counts) {
+  memset(out_counts, 0, sizeof(int64_t) * (size_t)n_buckets);
+  for (int64_t i = 0; i < nnz; ++i) {
+    int64_t kk = key[i];
+    if (kk >= 0 && kk < n_buckets) ++out_counts[kk];
+  }
+}
+
+}  // extern "C"

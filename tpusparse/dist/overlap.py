@@ -95,21 +95,29 @@ def pack_halo_stripe(
     lcol_of_nz = cols % n_chunk_rows
 
     key = (dev_of_nz * d + chunk_of_nz) * p_per_dev + stripe_of_nz
-    order = np.argsort(key, kind="stable")
-    key_s = key[order]
-    counts = np.bincount(key_s, minlength=d * d * p_per_dev)
+    buckets = d * d * p_per_dev
+    counts = np.bincount(key, minlength=buckets)
     cnz = round_up(max(int(counts.max(initial=1)), 1), max(nnz_multiple, 1))
 
-    buckets = d * d * p_per_dev
-    out_cols = np.zeros((buckets, cnz), dtype=np.int32)
-    out_lrow = np.zeros((buckets, cnz), dtype=np.int32)
-    out_vals = np.zeros((buckets, cnz), dtype=np.float32)
-    offs = np.zeros(buckets + 1, dtype=np.int64)
-    np.cumsum(counts, out=offs[1:])
-    pos = np.arange(key_s.size) - offs[key_s]
-    out_cols[key_s, pos] = lcol_of_nz[order]
-    out_lrow[key_s, pos] = lrow_of_nz[order]
-    out_vals[key_s, pos] = vals[order]
+    from tpusparse import native
+
+    packed = None
+    if native.available():
+        packed = native.bucket_pack(key, lcol_of_nz, lrow_of_nz, vals, buckets, cnz)
+    if packed is not None:
+        out_cols, out_lrow, out_vals, _ = packed
+    else:
+        order = np.argsort(key, kind="stable")
+        key_s = key[order]
+        out_cols = np.zeros((buckets, cnz), dtype=np.int32)
+        out_lrow = np.zeros((buckets, cnz), dtype=np.int32)
+        out_vals = np.zeros((buckets, cnz), dtype=np.float32)
+        offs = np.zeros(buckets + 1, dtype=np.int64)
+        np.cumsum(counts, out=offs[1:])
+        pos = np.arange(key_s.size) - offs[key_s]
+        out_cols[key_s, pos] = lcol_of_nz[order]
+        out_lrow[key_s, pos] = lrow_of_nz[order]
+        out_vals[key_s, pos] = vals[order]
 
     shape5 = (d, d, p_per_dev, 1, cnz)
     slot = np.full(m, -1, dtype=np.int32)

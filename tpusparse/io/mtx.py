@@ -98,7 +98,20 @@ def read_mtx(path_or_file, graph_mode: str | None = None) -> CooMatrix:
     ``graph_mode`` overrides config: None uses ``get_config().graph_algorithm``
     when ``performance_flag == 'graph'``; 'bfs'/'pr' transpose the matrix,
     'cc' drops values to 1 and dedups (reference: struct.cc:53-75).
+
+    File paths go through the native C++ parser (csrc/tpusparse_host.cpp)
+    when it is available; file-like objects use the Python reader.
     """
+    if not hasattr(path_or_file, "read"):
+        from tpusparse import native
+
+        if native.available():
+            parsed = native.parse_mtx(str(path_or_file))
+            if parsed is not None:
+                rows, cols, vals, dims = parsed
+                mat = CooMatrix(rows, cols, vals, dims)
+                return _apply_graph_mode(mat, graph_mode)
+
     if hasattr(path_or_file, "read"):
         text_iter = iter(path_or_file.read().splitlines())
     else:
@@ -171,6 +184,11 @@ def read_mtx(path_or_file, graph_mode: str | None = None) -> CooMatrix:
         # Tolerate like the reference (it trusts the line count), but keep data.
         pass
 
+    return _apply_graph_mode(mat, graph_mode)
+
+
+def _apply_graph_mode(mat: CooMatrix, graph_mode: str | None) -> CooMatrix:
+    """Graph-mode loader post-processing (reference: struct.cc:53-75)."""
     cfg = get_config()
     mode = graph_mode
     if mode is None and cfg.performance_flag == "graph":

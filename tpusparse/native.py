@@ -1,0 +1,173 @@
+"""ctypes bindings for the native host library (csrc/tpusparse_host.cpp).
+
+The reference's host runtime is C++ throughout (SURVEY §2.1); this module is
+the TPU build's native layer for host-side hot paths — .mtx parsing,
+merge-path partitioning, bucket packing.  The library is built on demand
+(``make -C csrc``) and every entry point has a numpy fallback, so the
+package works without a compiler; callers use :func:`available` or just get
+``None`` from loaders.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_CSRC = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "csrc")
+_SO = os.path.join(_CSRC, "libtpusparse_host.so")
+_lock = threading.Lock()
+_lib = None
+_tried = False
+
+
+def _load() -> ctypes.CDLL | None:
+    global _lib, _tried
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        if not os.path.exists(_SO):
+            try:
+                subprocess.run(
+                    ["make", "-C", _CSRC, "-s"], check=True,
+                    capture_output=True, timeout=120,
+                )
+            except Exception:
+                return None
+        try:
+            lib = ctypes.CDLL(_SO)
+        except OSError:
+            return None
+        i64 = ctypes.c_int64
+        pi64 = ctypes.POINTER(i64)
+        pi32 = ctypes.POINTER(ctypes.c_int32)
+        pf32 = ctypes.POINTER(ctypes.c_float)
+        pf64 = ctypes.POINTER(ctypes.c_double)
+        lib.ts_parse_mtx.restype = ctypes.c_int
+        lib.ts_parse_mtx.argtypes = [
+            ctypes.c_char_p,
+            ctypes.POINTER(pi64), ctypes.POINTER(pi64), ctypes.POINTER(pf64),
+            pi64, pi64, pi64,
+        ]
+        lib.ts_free.restype = None
+        lib.ts_free.argtypes = [ctypes.c_void_p]
+        lib.ts_merge_path_cuts.restype = i64
+        lib.ts_merge_path_cuts.argtypes = [pi64, i64, i64, i64, pi64, pi64]
+        lib.ts_bucket_pack.restype = i64
+        lib.ts_bucket_pack.argtypes = [pi64, i64, i64, i64, pi32, pi32, pf32,
+                                       pi32, pi32, pf32]
+        lib.ts_bucket_counts.restype = None
+        lib.ts_bucket_counts.argtypes = [pi64, i64, i64, pi64]
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def parse_mtx(path: str):
+    """Native .mtx load -> (rows, cols, vals, (m, n)) row-major sorted, or
+    None if the native library is unavailable.  Raises ValueError on a
+    malformed file (mirrors the Python reader)."""
+    lib = _load()
+    if lib is None:
+        return None
+    rows_p = ctypes.POINTER(ctypes.c_int64)()
+    cols_p = ctypes.POINTER(ctypes.c_int64)()
+    vals_p = ctypes.POINTER(ctypes.c_double)()
+    m = ctypes.c_int64()
+    n = ctypes.c_int64()
+    nnz = ctypes.c_int64()
+    rc = lib.ts_parse_mtx(
+        os.fsencode(path),
+        ctypes.byref(rows_p), ctypes.byref(cols_p), ctypes.byref(vals_p),
+        ctypes.byref(m), ctypes.byref(n), ctypes.byref(nnz),
+    )
+    if rc == -1:
+        raise FileNotFoundError(path)
+    if rc == -2:
+        raise ValueError(f"malformed matrix file: {path}")
+    if rc == -3:
+        raise ValueError(f"entry index out of range in {path}")
+    if rc != 0:
+        return None
+    k = nnz.value
+    try:
+        rows = np.ctypeslib.as_array(rows_p, shape=(max(k, 1),))[:k].copy()
+        cols = np.ctypeslib.as_array(cols_p, shape=(max(k, 1),))[:k].copy()
+        vals = np.ctypeslib.as_array(vals_p, shape=(max(k, 1),))[:k].copy()
+    finally:
+        lib.ts_free(rows_p)
+        lib.ts_free(cols_p)
+        lib.ts_free(vals_p)
+    return rows, cols, vals, (int(m.value), int(n.value))
+
+
+def merge_path_cuts(row_ptr: np.ndarray, nnz: int, work: int):
+    """Merge-path cut points -> (first_rows, first_nzs), each n_cuts+1 long;
+    None if the native library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    row_ptr = np.ascontiguousarray(row_ptr, dtype=np.int64)
+    m = row_ptr.size - 1
+    total = m + nnz
+    n_cuts = max((total + work - 1) // work, 1) if work > 0 else 1
+    out_r = np.zeros(n_cuts + 1, dtype=np.int64)
+    out_z = np.zeros(n_cuts + 1, dtype=np.int64)
+    got = lib.ts_merge_path_cuts(
+        row_ptr.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        m, nnz, work,
+        out_r.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        out_z.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+    )
+    return out_r[: got + 1], out_z[: got + 1]
+
+
+def bucket_pack(key: np.ndarray, a: np.ndarray, b: np.ndarray, v: np.ndarray,
+                n_buckets: int, cap: int):
+    """Scatter payloads into padded [n_buckets, cap] arrays (stable order).
+    Returns (out_a, out_b, out_v, max_fill) or None if unavailable.
+    Raises ValueError if any bucket exceeds cap."""
+    lib = _load()
+    if lib is None:
+        return None
+    key = np.ascontiguousarray(key, dtype=np.int64)
+    a = np.ascontiguousarray(a, dtype=np.int32)
+    b = np.ascontiguousarray(b, dtype=np.int32)
+    v = np.ascontiguousarray(v, dtype=np.float32)
+    out_a = np.empty((n_buckets, cap), dtype=np.int32)
+    out_b = np.empty((n_buckets, cap), dtype=np.int32)
+    out_v = np.empty((n_buckets, cap), dtype=np.float32)
+    got = lib.ts_bucket_pack(
+        key.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        key.size, n_buckets, cap,
+        a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        b.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        v.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        out_a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        out_b.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        out_v.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+    )
+    if got < 0:
+        raise ValueError(f"bucket overflow: occupancy exceeds cap {cap}")
+    return out_a, out_b, out_v, int(got)
+
+
+def bucket_counts(key: np.ndarray, n_buckets: int):
+    lib = _load()
+    if lib is None:
+        return None
+    key = np.ascontiguousarray(key, dtype=np.int64)
+    out = np.zeros(n_buckets, dtype=np.int64)
+    lib.ts_bucket_counts(
+        key.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        key.size, n_buckets,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+    )
+    return out
