@@ -138,3 +138,14 @@ def test_tuner(small_coo, rng, tmp_path):
     y = np.asarray(res.best(x))
     check_result(y, spmm_reference(small_coo, x.astype(np.float64)), rtol=2e-3)
     assert (tmp_path / "results.jsonl").exists()
+
+
+def test_dense_family(small_coo):
+    import numpy as np
+    from tpusparse.oracle import check_result, spmm_reference
+    from tpusparse.schedule import Schedule, build_plan
+
+    x = np.random.default_rng(2).standard_normal((small_coo.shape[1], 16)).astype(np.float32)
+    plan = build_plan(small_coo, Schedule(family="dense", precision="fp32"))
+    y = np.asarray(plan(x))
+    check_result(y, spmm_reference(small_coo, x.astype(np.float64)), rtol=1e-4)

@@ -23,11 +23,18 @@ from tpusparse.io.mtx import CooMatrix
 def dense_spmm_fn(mat: CooMatrix, dtype=jnp.float32):
     a = jnp.asarray(mat.to_dense(np.float32), dtype=dtype)
 
-    @jax.jit
-    def fn(x):
-        return jnp.dot(a, x, preferred_element_type=jnp.float32)
+    # A must be a runtime argument, not a closure constant — closed-over
+    # arrays get inlined into the HLO, which blows up compile payloads.
+    # fp32 needs Precision.HIGHEST: TPU DEFAULT lowers fp32 dots through
+    # bf16 passes (~1e-1 abs error on wide contractions).
+    prec = (jax.lax.Precision.HIGHEST if jnp.dtype(dtype) == jnp.float32
+            else jax.lax.Precision.DEFAULT)
 
-    return fn
+    @jax.jit
+    def _fn(a, x):
+        return jnp.dot(a, x, preferred_element_type=jnp.float32, precision=prec)
+
+    return lambda x: _fn(a, x)
 
 
 def bcoo_spmm_fn(mat: CooMatrix, dtype=jnp.float32):

@@ -24,8 +24,9 @@ def _chain(fn: Callable, iters: int):
     def loop(x):
         def body(carry, _):
             y = fn(carry)
-            # data dependency the compiler cannot fold away: min(|y00|, 0) == 0
-            eps = jnp.minimum(jnp.abs(y[(0,) * y.ndim].astype(jnp.float32)), 0.0)
+            # data dependency the compiler cannot fold away: y00 * 1e-30
+            # is not provably zero (min(|y00|, 0) was — XLA hoisted the body)
+            eps = y[(0,) * y.ndim].astype(jnp.float32) * jnp.float32(1e-30)
             nxt = carry + eps.astype(carry.dtype)
             return nxt, y[(0,) * y.ndim]
         final, lasts = jax.lax.scan(body, x, None, length=iters)
@@ -38,21 +39,57 @@ def time_fn(fn: Callable, x, *, iters: int = 20, warmup: int = 2) -> float:
     """Per-call seconds for ``fn(x)``, slope-based: time chains of N and 2N
     iterations and divide the difference — this cancels the fixed host
     round-trip (~ms on the remote TPU path) that would otherwise floor every
-    measurement."""
+    measurement.  Every timed call gets a *distinct* input: the remote path
+    memoizes repeated identical (executable, args) calls, which would
+    otherwise collapse samples to the round-trip time."""
     short = _chain(fn, iters)
     long = _chain(fn, 2 * iters)
-    jax.device_get(short(x))  # compile + warm
-    jax.device_get(long(x))
+
+    def perturb(i):
+        return (x + jnp.asarray(i * 1e-6, x.dtype)).block_until_ready()
+
+    try:
+        jax.device_get(short(perturb(0)))  # compile + warm
+        jax.device_get(long(perturb(0)))
+    except Exception:
+        # chain jit re-traces fn, embedding closed-over arrays as HLO
+        # constants; huge formats overflow the remote-compile payload.
+        # Fall back to loop timing with overhead subtraction.
+        return _time_loop(fn, x, iters=max(iters, 8))
     samples = []
-    for _ in range(3):
+    for i in range(1, 4):
+        xi = perturb(i)
         t0 = time.perf_counter()
-        jax.device_get(short(x))
+        jax.device_get(short(xi))
         t1 = time.perf_counter()
-        jax.device_get(long(x))
+        jax.device_get(long(xi))
         t2 = time.perf_counter()
         samples.append(((t2 - t1) - (t1 - t0)) / iters)
     sec = float(np.median(samples))
     return max(sec, 1e-9)
+
+
+def _time_loop(fn: Callable, x, *, iters: int) -> float:
+    """Loop timing: pipeline `iters` calls on distinct inputs, block once,
+    subtract the dispatch/transfer overhead measured with an identity fn."""
+    xs = [(x + jnp.asarray(i * 1e-6, x.dtype)) for i in range(iters)]
+    jax.block_until_ready(xs)
+    ident = jax.jit(lambda v: v * 1.0000001)
+
+    def run(f):
+        # device_get, not block_until_ready: the remote path's
+        # block_until_ready returns before device completion.  In-order
+        # execution means fetching the last result fences the whole batch;
+        # the fetch cost is shared with the identity run and subtracts out.
+        jax.device_get(f(xs[0]))  # warm
+        t0 = time.perf_counter()
+        ys = [f(xi) for xi in xs]
+        jax.device_get(ys[-1])
+        return (time.perf_counter() - t0) / iters
+
+    overhead = run(ident)
+    total = run(fn)
+    return max(total - overhead, 1e-9)
 
 
 def gflops(nnz: int, k: int, seconds: float, float_rate: float = 2.0) -> float:

@@ -115,6 +115,21 @@ def _tile_kernel(
     y_ref[0, :, :] = acc
 
 
+def _prep_x(x, mode, ktile):
+    """Pack X for the kernel: fp32x2 interleaves hi/lo bf16 halves per K-tile."""
+    n, k = x.shape
+    kt_count = cdiv(k, ktile)
+    if mode == "fp32":
+        return x, ktile
+    if mode == "fp32x2":
+        hi, lo = _split_bf16(x)
+        # pack hi/lo per K-tile: [N, t*2kt : t*2kt+kt] = hi tile, then lo tile
+        hi = hi.reshape(n, kt_count, ktile)
+        lo = lo.reshape(n, kt_count, ktile)
+        return jnp.stack([hi, lo], axis=2).reshape(n, kt_count * 2 * ktile), 2 * ktile
+    return x.astype(jnp.bfloat16), ktile
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("n_programs", "nc", "g", "rb", "ct", "ktile", "mode", "unroll", "interpret"),
@@ -123,19 +138,7 @@ def _tile_call(chunk_tile, cols, lrow, vals, x, *, n_programs, nc, g, rb, ct, kt
     n = x.shape[0]
     k = x.shape[1]
     kt_count = cdiv(k, ktile)
-    if mode == "fp32":
-        xin = x
-        xwidth = ktile
-    elif mode == "fp32x2":
-        hi, lo = _split_bf16(x)
-        # pack hi/lo per K-tile: [N, t*2kt : t*2kt+kt] = hi tile, then lo tile
-        hi = hi.reshape(n, kt_count, ktile)
-        lo = lo.reshape(n, kt_count, ktile)
-        xin = jnp.stack([hi, lo], axis=2).reshape(n, kt_count * 2 * ktile)
-        xwidth = 2 * ktile
-    else:
-        xin = x.astype(jnp.bfloat16)
-        xwidth = ktile
+    xin, xwidth = _prep_x(x, mode, ktile)
     u = unroll if (unroll > 1 and nc % unroll == 0) else 1
     kernel = functools.partial(_tile_kernel, nc=nc, g=g, rb=rb, ct=ct, mode=mode, unroll=u)
     y = pl.pallas_call(
@@ -153,6 +156,95 @@ def _tile_call(chunk_tile, cols, lrow, vals, x, *, n_programs, nc, g, rb, ct, kt
         interpret=interpret,
     )(chunk_tile, cols, lrow, vals, xin)
     return y.reshape(n_programs * rb, kt_count * ktile)
+
+
+def _tile_kernel_stream(ct_ref, cols_ref, lrow_ref, vals_ref, xwin_ref, y_ref, *,
+                        g, rb, mode):
+    j = pl.program_id(2)
+
+    @pl.when(j == 0)
+    def _():
+        y_ref[...] = jnp.zeros_like(y_ref)
+
+    kt = y_ref.shape[2]
+    f32 = jnp.float32
+    iota_rb_sub = jax.lax.broadcasted_iota(jnp.int32, (rb, 1), 0)
+    DEF = jax.lax.Precision.DEFAULT
+    HI = jax.lax.Precision.HIGHEST
+
+    def dot(a, b, precision):
+        return jax.lax.dot_general(
+            a, b, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=f32, precision=precision,
+        )
+
+    ct = xwin_ref.shape[0]
+    iota_ct_lane = jax.lax.broadcasted_iota(jnp.int32, (1, ct), 1)
+    cl = cols_ref[0, 0, :].reshape(g, 1)
+    lr = lrow_ref[0, 0, :]
+    v = vals_ref[0, 0, :].reshape(g, 1).astype(f32)
+    if mode == "fp32":
+        colhot = (cl == iota_ct_lane).astype(f32)
+        gathered = dot(colhot, xwin_ref[...].astype(f32), HI)
+    elif mode == "fp32x2":
+        colhot = (cl == iota_ct_lane).astype(jnp.bfloat16)
+        both = dot(colhot, xwin_ref[...], DEF)
+        gathered = both[:, :kt] + both[:, kt:]
+    else:
+        colhot = (cl == iota_ct_lane).astype(jnp.bfloat16)
+        gathered = dot(colhot, xwin_ref[...], DEF)
+    contrib = v * gathered
+    if mode == "fp32":
+        rowhot = (lr == iota_rb_sub).astype(f32)
+        y_ref[0, :, :] += dot(rowhot, contrib, HI)
+    else:
+        rowhot = (lr == iota_rb_sub).astype(jnp.bfloat16)
+        if mode == "fp32x2":
+            chi, clo = _split_bf16(contrib)
+            both = dot(rowhot, jnp.concatenate([chi, clo], axis=1), DEF)
+            y_ref[0, :, :] += both[:, :kt] + both[:, kt:]
+        else:
+            y_ref[0, :, :] += dot(rowhot, contrib.astype(jnp.bfloat16), DEF)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_programs", "nc", "g", "rb", "ct", "ktile", "mode", "interpret"),
+)
+def _tile_call_stream(chunk_tile, cols, lrow, vals, x, *, n_programs, nc, g, rb,
+                      ct, ktile, mode, interpret):
+    """Streaming variant for X too large for VMEM residency: chunk_tile is
+    scalar-prefetched and the X BlockSpec index_map selects each chunk's
+    (CT, xwidth) window, double-buffered by the Pallas pipeline."""
+    k = x.shape[1]
+    kt_count = cdiv(k, ktile)
+    xin, xwidth = _prep_x(x, mode, ktile)
+    kernel = functools.partial(_tile_kernel_stream, g=g, rb=rb, mode=mode)
+    ct2d = chunk_tile.reshape(n_programs, nc)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_programs, kt_count, nc),
+        in_specs=[
+            pl.BlockSpec((1, 1, g), lambda p, t, j, ctr: (p, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, g), lambda p, t, j, ctr: (p, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, g), lambda p, t, j, ctr: (p, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((ct, xwidth), lambda p, t, j, ctr: (ctr[p, j], t),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, rb, ktile), lambda p, t, j, ctr: (p, 0, t),
+                               memory_space=pltpu.VMEM),
+    )
+    y = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_programs, rb, kt_count * ktile), jnp.float32),
+        interpret=interpret,
+    )(ct2d, cols, lrow, vals, xin)
+    return y.reshape(n_programs * rb, kt_count * ktile)
+
+
+# X blocks above this footprint use the streaming (scalar-prefetch) variant
+_RESIDENT_X_BYTES = 6 * 1024 * 1024
 
 
 def tile_spmm(
@@ -178,18 +270,28 @@ def tile_spmm(
     # pad X rows to full tiles so the (CT, kt) window never reads OOB
     n_tiles = cdiv(n_cols, fmt.ct)
     x = pad_dense_rows(x.astype(jnp.float32), n_tiles * fmt.ct)
-    y_rows = _tile_call(
-        fmt.chunk_tile, fmt.cols, fmt.lrow, fmt.vals, x,
-        n_programs=fmt.n_programs,
-        nc=fmt.n_chunks,
-        g=fmt.chunk_g,
-        rb=fmt.rb,
-        ct=fmt.ct,
-        ktile=ktile,
-        mode=precision,
-        unroll=unroll,
-        interpret=interpret,
-    )
+    xwidth = 2 * ktile if precision == "fp32x2" else ktile
+    item = 4 if precision == "fp32" else 2
+    if x.shape[0] * xwidth * item > _RESIDENT_X_BYTES:
+        y_rows = _tile_call_stream(
+            fmt.chunk_tile, fmt.cols, fmt.lrow, fmt.vals, x,
+            n_programs=fmt.n_programs, nc=fmt.n_chunks, g=fmt.chunk_g,
+            rb=fmt.rb, ct=fmt.ct, ktile=ktile, mode=precision,
+            interpret=interpret,
+        )
+    else:
+        y_rows = _tile_call(
+            fmt.chunk_tile, fmt.cols, fmt.lrow, fmt.vals, x,
+            n_programs=fmt.n_programs,
+            nc=fmt.n_chunks,
+            g=fmt.chunk_g,
+            rb=fmt.rb,
+            ct=fmt.ct,
+            ktile=ktile,
+            mode=precision,
+            unroll=unroll,
+            interpret=interpret,
+        )
     slot = jnp.asarray(fmt.slot_of_origrow)
     oob = y_rows.shape[0]
     slot = jnp.where(slot < 0, oob, slot)

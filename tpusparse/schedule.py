@@ -43,7 +43,7 @@ from tpusparse.ops import (
     UniformBlockPadOperator,
 )
 
-KERNEL_FAMILIES = ("stripe_total", "nnz_segment", "tile_onehot", "bucketed")
+KERNEL_FAMILIES = ("stripe_total", "nnz_segment", "tile_onehot", "bucketed", "dense")
 BLOCKINGS = ("merge_path", "balanced", "fixed_rows")
 
 
@@ -121,7 +121,37 @@ def _build_sub_plan(ms, ex, sub: int, sched: Schedule, out_rows: int, interpret)
     raise ValueError(f"unknown family {sched.family!r}")
 
 
+def _build_dense_plan(mat: CooMatrix, sched: Schedule) -> SpmmPlan:
+    """Dense MXU matmul as a schedule family.  At high density or large K
+    the one-hot gather costs more FLOPs than the dense product itself (the
+    MXU has no gather), so the honest TPU-native schedule IS the dense
+    matmul — the tuner measures and decides, exactly like the reference
+    keeps the min over pipelines (token_test.cc:1625-1847)."""
+    import jax
+    import jax.numpy as jnp
+
+    dt = jnp.bfloat16 if sched.precision == "bf16" else jnp.float32
+    prec = (jax.lax.Precision.HIGHEST if dt == jnp.float32
+            else jax.lax.Precision.DEFAULT)
+    a = jnp.asarray(mat.to_dense(np.float32), dtype=dt)
+
+    @jax.jit
+    def _mm(a, x):
+        return jnp.dot(a, x.astype(dt), preferred_element_type=jnp.float32,
+                       precision=prec)
+
+    return SpmmPlan(
+        fn=lambda x: _mm(a, x),
+        formats=[],
+        shape=mat.shape,
+        meta={"schedule": sched.describe(), "n_subs": 1, "padding_rate": 1.0,
+              "operator_history": "dense"},
+    )
+
+
 def build_plan(mat: CooMatrix, sched: Schedule, *, interpret: bool | None = None) -> SpmmPlan:
+    if sched.family == "dense":
+        return _build_dense_plan(mat, sched)
     ms = create_init_metadata_set(mat)
     ex = OperatorExecutor(ms)
     out_rows = mat.shape[0]

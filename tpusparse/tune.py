@@ -56,6 +56,11 @@ def default_candidates(mat: CooMatrix, k: int) -> list[Schedule]:
     if skewed:
         cands.append(Schedule(family="nnz_segment", work_per_block=2048, unroll=8))
         cands.append(Schedule(family="bucketed", bucket_bounds=(max(int(8 * avg_len), 32),)))
+    # dense MXU matmul — wins at high density or large K where the one-hot
+    # gather exceeds the dense product's FLOPs; gate on densified size
+    m, n = mat.shape
+    if m * n * 2 <= 512 * 1024 * 1024 and (mat.density > 0.02 or k >= 256):
+        cands.append(Schedule(family="dense", precision="bf16"))
     return cands
 
 
