@@ -66,6 +66,11 @@ def time_fn(fn: Callable, x, *, iters: int = 20, warmup: int = 2) -> float:
         t2 = time.perf_counter()
         samples.append(((t2 - t1) - (t1 - t0)) / iters)
     sec = float(np.median(samples))
+    # fast kernels drown in round-trip jitter: retry once with enough
+    # iterations that the slope spans >= ~4ms of device time
+    if sec * iters < 2e-3 and iters < 256:
+        want_iters = int(min(max(4e-3 / max(sec, 2e-6), 2 * iters), 256))
+        return time_fn(fn, x, iters=want_iters, warmup=0)
     return max(sec, 1e-9)
 
 
