@@ -149,3 +149,25 @@ def test_dense_family(small_coo):
     plan = build_plan(small_coo, Schedule(family="dense", precision="fp32"))
     y = np.asarray(plan(x))
     check_result(y, spmm_reference(small_coo, x.astype(np.float64)), rtol=1e-4)
+
+
+def test_block_ell_family():
+    import numpy as np
+    from tpusparse.io import builder
+    from tpusparse.oracle import check_result, spmm_reference
+    from tpusparse.schedule import Schedule, build_plan
+
+    mat = builder.block_sparse_coo(384, 512, block=128, block_density=0.2, seed=1)
+    x = np.random.default_rng(2).standard_normal((512, 16)).astype(np.float32)
+    plan = build_plan(mat, Schedule(family="block_ell", precision="fp32", row_interval=128))
+    y = np.asarray(plan(x))
+    check_result(y, spmm_reference(mat, x.astype(np.float64)), rtol=1e-4)
+
+
+def test_tuner_picks_block_ell_candidate():
+    from tpusparse.io import builder
+    from tpusparse.tune import default_candidates
+
+    mat = builder.block_sparse_coo(512, 512, block=128, block_density=0.3, seed=4)
+    fams = {c.family for c in default_candidates(mat, k=16)}
+    assert "block_ell" in fams

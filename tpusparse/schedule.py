@@ -43,7 +43,8 @@ from tpusparse.ops import (
     UniformBlockPadOperator,
 )
 
-KERNEL_FAMILIES = ("stripe_total", "nnz_segment", "tile_onehot", "bucketed", "dense")
+KERNEL_FAMILIES = ("stripe_total", "nnz_segment", "tile_onehot", "bucketed", "dense",
+                   "block_ell")
 BLOCKINGS = ("merge_path", "balanced", "fixed_rows")
 
 
@@ -149,9 +150,35 @@ def _build_dense_plan(mat: CooMatrix, sched: Schedule) -> SpmmPlan:
     )
 
 
+def _build_block_ell_plan(mat: CooMatrix, sched: Schedule, interpret) -> SpmmPlan:
+    """Block-sparse MXU dense-tile family (no row reordering: the format is
+    already aligned to the original row space)."""
+    from tpusparse.kernels.block_ell import block_ell_spmm, pack_block_ell
+
+    bs = sched.row_interval if sched.row_interval in (64, 128, 256) else 128
+    fmt = pack_block_ell(mat, bs=bs,
+                         dtype="bfloat16" if sched.precision == "bf16" else "float32")
+
+    def fn(x, fmt=fmt):
+        return block_ell_spmm(
+            fmt, x,
+            precision="bf16" if sched.precision == "bf16" else "fp32",
+            ktile=sched.ktile, interpret=interpret,
+        )
+
+    return SpmmPlan(
+        fn=fn, formats=[fmt], shape=mat.shape,
+        meta={"schedule": sched.describe(), "n_subs": 1,
+              "padding_rate": fmt.padding_rate * (fmt.bs ** 2 * fmt.n_blocks) / max(mat.nnz, 1),
+              "operator_history": "block_ell"},
+    )
+
+
 def build_plan(mat: CooMatrix, sched: Schedule, *, interpret: bool | None = None) -> SpmmPlan:
     if sched.family == "dense":
         return _build_dense_plan(mat, sched)
+    if sched.family == "block_ell":
+        return _build_block_ell_plan(mat, sched, interpret)
     ms = create_init_metadata_set(mat)
     ex = OperatorExecutor(ms)
     out_rows = mat.shape[0]

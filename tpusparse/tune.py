@@ -61,6 +61,12 @@ def default_candidates(mat: CooMatrix, k: int) -> list[Schedule]:
     m, n = mat.shape
     if m * n * 2 <= 512 * 1024 * 1024 and (mat.density > 0.02 or k >= 256):
         cands.append(Schedule(family="dense", precision="bf16"))
+    # block-ELL MXU path — candidate when nz cluster into dense 128-blocks
+    br = mat.rows >> 7
+    bc = mat.cols >> 7
+    blocks = np.unique(br * (-(-n // 128)) + bc).size
+    if blocks and mat.nnz / (blocks * 128 * 128) > 0.25:
+        cands.append(Schedule(family="block_ell", precision="bf16", row_interval=128))
     return cands
 
 
