@@ -46,8 +46,17 @@ def main():
     # mini-tune over schedule candidates (reference: min-time over schedules)
     from tpusparse.generator import build_tile_plan
 
+    from tpusparse.schedule import Schedule, build_plan
+
     candidates = []
-    for rb, ct, g, u in ((1024, 1024, 512, 4), (1024, 512, 256, 4), (512, 1024, 256, 4)):
+    for rb, ct, g in ((512, 1024, 512), (640, 1024, 512), (512, 512, 256)):
+        candidates.append((
+            f"span rb={rb} ct={ct} g={g}",
+            lambda rb=rb, ct=ct, g=g: build_plan(
+                mat, Schedule(family="span_onehot", rb=rb, ct=ct, g=g, unroll=4)
+            ),
+        ))
+    for rb, ct, g, u in ((1024, 1024, 512, 4), (1024, 512, 256, 4)):
         candidates.append((
             f"tile rb={rb} ct={ct} g={g} u={u}",
             lambda rb=rb, ct=ct, g=g, u=u: build_tile_plan(

@@ -1,0 +1,64 @@
+"""Span-chunked one-hot kernel vs oracle."""
+
+import numpy as np
+import pytest
+
+from tpusparse.io import builder
+from tpusparse.kernels.span_gather import pack_span, span_spmm
+from tpusparse.oracle import check_result, spmm_reference
+
+
+def _case(m=300, n=400, k=8, avg=6.0, seed=0):
+    mat = builder.power_law_coo(m, n, avg_nnz_per_row=avg, seed=seed)
+    x = np.random.default_rng(seed + 1).standard_normal((n, k)).astype(np.float32)
+    return mat, x
+
+
+@pytest.mark.parametrize("rb,ct,g", [(64, 128, 32), (128, 64, 16)])
+def test_span_fp32(rb, ct, g):
+    mat, x = _case()
+    fmt = pack_span(mat, rb=rb, ct=ct, g=g)
+    y = np.asarray(span_spmm(fmt, x, precision="fp32"))
+    check_result(y, spmm_reference(mat, x.astype(np.float64)), rtol=1e-5)
+
+
+def test_span_fp32x2():
+    mat, x = _case(k=16, seed=3)
+    fmt = pack_span(mat, rb=64, ct=128, g=32)
+    y = np.asarray(span_spmm(fmt, x, precision="fp32x2"))
+    check_result(y, spmm_reference(mat, x.astype(np.float64)), rtol=2e-3)
+
+
+def test_span_padding_near_one():
+    # uniform matrix: only the final chunk per program should be padded
+    mat = builder.uniform_coo(512, 512, nnz_per_row=16, seed=2)
+    fmt = pack_span(mat, rb=128, ct=256, g=64)
+    assert fmt.padding_rate < 1.3, fmt.padding_rate
+    x = np.random.default_rng(0).standard_normal((512, 8)).astype(np.float32)
+    y = np.asarray(span_spmm(fmt, x, precision="fp32"))
+    check_result(y, spmm_reference(mat, x.astype(np.float64)), rtol=1e-5)
+
+
+def test_span_narrow_window_splits():
+    # force window splits: columns spread over n >> ct within a chunk
+    mat = builder.uniform_coo(64, 2048, nnz_per_row=32, seed=5)
+    fmt = pack_span(mat, rb=64, ct=64, g=64)
+    x = np.random.default_rng(1).standard_normal((2048, 8)).astype(np.float32)
+    y = np.asarray(span_spmm(fmt, x, precision="fp32"))
+    check_result(y, spmm_reference(mat, x.astype(np.float64)), rtol=1e-5)
+    # window constraint honored
+    cols = np.asarray(fmt.cols)
+    assert cols.max() < fmt.ct
+
+
+def test_span_from_metadata_set():
+    from tpusparse.meta.set import create_init_metadata_set
+    from tpusparse.ops import OperatorExecutor, SortOperator
+
+    mat, x = _case(seed=9)
+    ms = create_init_metadata_set(mat)
+    ex = OperatorExecutor(ms)
+    ex.add_and_run(SortOperator(0))
+    fmt = pack_span(ms, 0, out_rows=mat.shape[0], rb=64, ct=128, g=32)
+    y = np.asarray(span_spmm(fmt, x, precision="fp32"))
+    check_result(y, spmm_reference(mat, x.astype(np.float64)), rtol=1e-5)

@@ -1,0 +1,412 @@
+"""span_gather — span-chunked one-hot MXU SpMM (the small-K champion).
+
+tile_onehot cuts nz into fixed column tiles: at low density most
+(program, tile) segments are much smaller than the chunk size G, so padding
+approaches 2x, and the one-hot windows must be wide (CT ~ 1024) to catch
+enough nz.  This kernel instead sorts each program's nz BY COLUMN and cuts
+chunks of exactly G in that order; each chunk records its own window start
+``c0`` (the first column, rounded down to the sublane).  Sorted columns make
+G consecutive nz span only ~N*G/nnz_p columns, so a much narrower window
+(CT ~ 512) suffices and only the final chunk per program is padded:
+
+  padding    ~1.0  (vs ~1.9 for fixed tiles)
+  MXU cost   colhot [G, CT] + rowhot [RB, G] ~ (CT+RB)*G/128^3 tile-ops
+             per chunk — minimized at G=128, CT~RB~512: ~1.3 cyc/nz vs
+             ~4.8 for the 1024-tile configuration.
+
+Scatter needs no ordering (rowhot handles arbitrary rows within the
+program), so the column sort costs nothing on the output side; the
+program's rows land in their stripe slots as usual.
+
+X must be VMEM-resident ((N, xwidth) block) because window starts are
+dynamic — this is the small-K regime (K <= ~64) where that block is ~1-4 MB.
+Same precision modes as tile_onehot.  Reference counterpart: the
+column-direction blocking family (fixed_interval_col_direction_*_operator)
+fused with nnz-direction chunking — a combination the reference cannot
+express but the schedule vocabulary makes natural on TPU.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tpusparse.kernels.common import cdiv, kernel_backend_interpret, pad_dense_rows, round_up
+from tpusparse.kernels.tile_onehot import _prep_x
+
+PRECISIONS = ("bf16", "fp32x2", "fp32")
+
+
+@dataclasses.dataclass
+class SpanFormat:
+    """Per-program column-sorted chunks with dynamic window starts.
+
+    Arrays (P programs, NC chunks each, G nz per chunk):
+      c0    [P, 1, NC] int32  window start column (multiple of 8)
+      cols  [P, NC, G, 1] int32  column offset within the window (< CT);
+                              trailing singleton so the per-chunk block is a
+                              (G, 1) sublane-major vector (no in-register
+                              transpose; chunks stream as a grid axis)
+      lrow  [P, NC, 1, G] int32  row local to the program (< RB), (1, G)
+                              lane-major for the rowhot compare
+      vals  [P, NC, G, 1] f32    value (0 for padding), like cols
+      slot_of_origrow [M] int32
+    """
+
+    c0: Any
+    cols: Any
+    lrow: Any
+    vals: Any
+    slot_of_origrow: Any
+    n_programs: int
+    n_chunks: int
+    chunk_g: int
+    rb: int
+    ct: int
+    shape: tuple[int, int]
+    nnz_real: int
+
+    @property
+    def padding_rate(self) -> float:
+        return self.n_programs * self.n_chunks * self.chunk_g / max(self.nnz_real, 1)
+
+    @property
+    def memory_bytes(self) -> int:
+        return sum(np.asarray(a).nbytes
+                   for a in (self.c0, self.cols, self.lrow, self.vals))
+
+
+def pack_span(
+    mat_or_ms,
+    sub: int = 0,
+    *,
+    out_rows: int | None = None,
+    rb: int = 512,
+    ct: int = 512,
+    g: int = 128,
+    balance: bool = True,
+) -> SpanFormat:
+    """Pack a CooMatrix (or a MetaDataSet sub-matrix) into SpanFormat.
+
+    ``balance`` deals rows to programs round-robin in descending-length
+    order, so every program carries ~nnz/P work and the uniform chunk count
+    NC pads only the tail (the reference's sort + balanced blocking combo,
+    sort_operator + balanced_interval_*_operator, collapsed into the
+    packer; output recovery is the usual slot gather)."""
+    from tpusparse.io.mtx import CooMatrix
+    from tpusparse.levels import Level
+
+    if isinstance(mat_or_ms, CooMatrix):
+        rows = mat_or_ms.rows.astype(np.int64)
+        cols = mat_or_ms.cols.astype(np.int64)
+        vals = np.asarray(mat_or_ms.vals)
+        row_num, col_num = mat_or_ms.shape
+        rec = np.arange(row_num, dtype=np.int64)
+        if out_rows is None:
+            out_rows = row_num
+    else:
+        ms = mat_or_ms
+        rows, cols, vals = ms.coo(sub)
+        rows = rows.astype(np.int64)
+        cols = cols.astype(np.int64)
+        row_num = ms.row_num(sub)
+        col_num = ms.col_num(sub)
+        if ms.has(Level.ROW, "original_row_of_sorted", sub):
+            rec = ms.get(Level.ROW, "original_row_of_sorted", sub)[:row_num]
+        else:
+            rec = np.arange(row_num, dtype=np.int64)
+        assert out_rows is not None
+
+    p_count = max(-(-row_num // rb), 1)
+    span_budget = ct - 8  # window start is rounded down to a multiple of 8
+
+    if balance and row_num:
+        # deal rows (desc length) round-robin: program = rank % P
+        lengths = np.bincount(rows, minlength=row_num)
+        by_len = np.argsort(-lengths, kind="stable")
+        p_of_row = np.empty(row_num, dtype=np.int64)
+        lrow_of_row = np.empty(row_num, dtype=np.int64)
+        ranks = np.arange(row_num)
+        p_of_row[by_len] = ranks % p_count
+        lrow_of_row[by_len] = ranks // p_count
+        p_arr = p_of_row[rows]
+        lrow_arr = lrow_of_row[rows]
+        slot_of_local = p_of_row * rb + lrow_of_row  # slot per local row id
+    else:
+        p_arr = rows // rb
+        lrow_arr = rows % rb
+        slot_of_local = (np.arange(row_num) // rb) * rb + np.arange(row_num) % rb
+    order = np.lexsort((cols, p_arr))
+    lrow_s, cols_s, vals_s = lrow_arr[order], cols[order], np.asarray(vals)[order]
+    p_s = p_arr[order]
+    starts = np.searchsorted(p_s, np.arange(p_count + 1))
+
+    chunks: list[list[tuple[int, int, int]]] = [[] for _ in range(p_count)]
+    chunk_c0: list[list[int]] = [[] for _ in range(p_count)]
+    # build (c0, begin, end) chunk descriptors per program (O(#chunks log n))
+    for p in range(p_count):
+        lo, hi = int(starts[p]), int(starts[p + 1])
+        colp = cols_s[lo:hi]
+        i = lo
+        while i < hi:
+            c0 = int(cols_s[i]) & ~7
+            # nz fitting this window, capped at G
+            j_span = lo + int(np.searchsorted(colp, c0 + span_budget + 8, side="left"))
+            j = min(i + g, j_span, hi)
+            chunks[p].append((c0, i, j))
+            chunk_c0[p].append(c0)
+            i = j
+
+    nc = max(max((len(c) for c in chunks), default=1), 1)
+    c0_arr = np.zeros((p_count, 1, nc), dtype=np.int32)
+    cols_f = np.zeros((p_count, nc, g), dtype=np.int32)
+    lrow_f = np.zeros((p_count, nc, g), dtype=np.int32)
+    vals_f = np.zeros((p_count, nc, g), dtype=np.float32)
+    for p in range(p_count):
+        for ci, (c0, i, j) in enumerate(chunks[p]):
+            n = j - i
+            c0_arr[p, 0, ci] = c0
+            cols_f[p, ci, :n] = cols_s[i:j] - c0
+            lrow_f[p, ci, :n] = lrow_s[i:j]
+            vals_f[p, ci, :n] = vals_s[i:j]
+
+    slot_of_origrow = np.full(out_rows, -1, dtype=np.int32)
+    keep = rec >= 0
+    slot_of_origrow[rec[keep]] = slot_of_local[keep].astype(np.int32)
+
+    return SpanFormat(
+        c0=jnp.asarray(c0_arr),
+        cols=jnp.asarray(cols_f[:, :, :, None]),
+        lrow=jnp.asarray(lrow_f[:, :, None, :]),
+        vals=jnp.asarray(vals_f[:, :, :, None]),
+        slot_of_origrow=jnp.asarray(slot_of_origrow),
+        n_programs=p_count,
+        n_chunks=nc,
+        chunk_g=g,
+        rb=rb,
+        ct=ct,
+        shape=(out_rows, col_num),
+        nnz_real=int(np.count_nonzero(vals_f)),
+    )
+
+
+def _span_kernel(c0_ref, cols_ref, lrow_ref, vals_ref, x_ref, y_ref, *,
+                 nc, g, rb, ct, mode, unroll):
+    kt = y_ref.shape[2]
+    f32 = jnp.float32
+    iota_ct_lane = jax.lax.broadcasted_iota(jnp.int32, (1, ct), 1)
+    iota_rb_sub = jax.lax.broadcasted_iota(jnp.int32, (rb, 1), 0)
+    DEF = jax.lax.Precision.DEFAULT
+    HI = jax.lax.Precision.HIGHEST
+
+    def dot(a, b, precision):
+        return jax.lax.dot_general(
+            a, b, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=f32, precision=precision,
+        )
+
+    def chunk_contrib(j, acc):
+        c0 = pl.multiple_of(c0_ref[0, 0, j], 8)
+        cl = cols_ref[0, pl.ds(j, 1), :].reshape(g, 1)
+        lr = lrow_ref[0, pl.ds(j, 1), :]
+        v = vals_ref[0, pl.ds(j, 1), :].reshape(g, 1).astype(f32)
+        xwin = x_ref[pl.ds(c0, ct), :]
+        if mode == "fp32":
+            colhot = (cl == iota_ct_lane).astype(f32)
+            gathered = dot(colhot, xwin.astype(f32), HI)
+        else:
+            colhot = (cl == iota_ct_lane).astype(jnp.bfloat16)
+            gathered = dot(colhot, xwin, DEF)
+            if mode == "fp32x2":
+                gathered = gathered[:, :kt] + gathered[:, kt:]
+        contrib = v * gathered
+        if mode == "fp32":
+            rowhot = (lr == iota_rb_sub).astype(f32)
+            return acc + dot(rowhot, contrib, HI)
+        rowhot = (lr == iota_rb_sub).astype(jnp.bfloat16)
+        if mode == "fp32x2":
+            from tpusparse.kernels.tile_onehot import _split_bf16
+
+            chi, clo = _split_bf16(contrib)
+            both = dot(rowhot, jnp.concatenate([chi, clo], axis=1), DEF)
+            return acc + (both[:, :kt] + both[:, kt:])
+        return acc + dot(rowhot, contrib.astype(jnp.bfloat16), DEF)
+
+    if unroll > 1:
+        def body(i, accs):
+            return tuple(chunk_contrib(i * unroll + u, accs[u]) for u in range(unroll))
+        accs = jax.lax.fori_loop(0, nc // unroll, body,
+                                 tuple(jnp.zeros((rb, kt), f32) for _ in range(unroll)))
+        acc = functools.reduce(jnp.add, accs)
+        for r in range((nc // unroll) * unroll, nc):
+            acc = chunk_contrib(r, acc)
+    else:
+        acc = jax.lax.fori_loop(0, nc, chunk_contrib, jnp.zeros((rb, kt), f32))
+    y_ref[0, :, :] = acc
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_programs", "nc", "g", "rb", "ct", "ktile", "mode",
+                     "unroll", "interpret"),
+)
+def _span_call(c0, cols3, lrow3, vals3, x, *, n_programs, nc, g, rb, ct, ktile,
+               mode, unroll, interpret):
+    n = x.shape[0]
+    k = x.shape[1]
+    kt_count = cdiv(k, ktile)
+    xin, xwidth = _prep_x(x, mode, ktile)
+    u = unroll if unroll > 1 else 1
+    kernel = functools.partial(_span_kernel, nc=nc, g=g, rb=rb, ct=ct,
+                               mode=mode, unroll=u)
+    y = pl.pallas_call(
+        kernel,
+        grid=(n_programs, kt_count),
+        out_shape=jax.ShapeDtypeStruct((n_programs, rb, kt_count * ktile), jnp.float32),
+        in_specs=[
+            pl.BlockSpec((1, 1, nc), lambda p, t: (p, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, nc, g), lambda p, t: (p, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nc, g), lambda p, t: (p, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nc, g), lambda p, t: (p, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, xwidth), lambda p, t: (0, t), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, rb, ktile), lambda p, t: (p, 0, t),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(c0, cols3, lrow3, vals3, xin)
+    return y.reshape(n_programs * rb, kt_count * ktile)
+
+
+def _span_kernel_stream(c0_ref, colsT_ref, lrow_ref, valsT_ref, x_ref, y_ref, *,
+                        g, rb, ct, mode):
+    j = pl.program_id(2)
+
+    @pl.when(j == 0)
+    def _():
+        y_ref[...] = jnp.zeros_like(y_ref)
+
+    kt = y_ref.shape[2]
+    f32 = jnp.float32
+    iota_ct_lane = jax.lax.broadcasted_iota(jnp.int32, (1, ct), 1)
+    iota_rb_sub = jax.lax.broadcasted_iota(jnp.int32, (rb, 1), 0)
+    DEF = jax.lax.Precision.DEFAULT
+    HI = jax.lax.Precision.HIGHEST
+
+    def dot(a, b, precision):
+        return jax.lax.dot_general(
+            a, b, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=f32, precision=precision,
+        )
+
+    c0 = pl.multiple_of(c0_ref[0, 0, j], 8)
+    cl = colsT_ref[0, 0]             # (G, 1) — DMA'd per chunk, no relayout
+    lr = lrow_ref[0, 0]              # (1, G)
+    v = valsT_ref[0, 0].astype(f32)  # (G, 1)
+    xwin = x_ref[pl.ds(c0, ct), :]
+    if mode == "fp32":
+        colhot = (cl == iota_ct_lane).astype(f32)
+        gathered = dot(colhot, xwin.astype(f32), HI)
+    else:
+        colhot = (cl == iota_ct_lane).astype(jnp.bfloat16)
+        gathered = dot(colhot, xwin, DEF)
+        if mode == "fp32x2":
+            gathered = gathered[:, :kt] + gathered[:, kt:]
+    contrib = v * gathered
+    if mode == "fp32":
+        rowhot = (lr == iota_rb_sub).astype(f32)
+        y_ref[0, :, :] += dot(rowhot, contrib, HI)
+    else:
+        rowhot = (lr == iota_rb_sub).astype(jnp.bfloat16)
+        if mode == "fp32x2":
+            from tpusparse.kernels.tile_onehot import _split_bf16
+
+            chi, clo = _split_bf16(contrib)
+            both = dot(rowhot, jnp.concatenate([chi, clo], axis=1), DEF)
+            y_ref[0, :, :] += both[:, :kt] + both[:, kt:]
+        else:
+            y_ref[0, :, :] += dot(rowhot, contrib.astype(jnp.bfloat16), DEF)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_programs", "nc", "g", "rb", "ct", "ktile", "mode", "interpret"),
+)
+def _span_call_stream(c0, colsT, lrow, valsT, x, *, n_programs, nc, g, rb, ct,
+                      ktile, mode, interpret):
+    n = x.shape[0]
+    k = x.shape[1]
+    kt_count = cdiv(k, ktile)
+    xin, xwidth = _prep_x(x, mode, ktile)
+    kernel = functools.partial(_span_kernel_stream, g=g, rb=rb, ct=ct, mode=mode)
+    y = pl.pallas_call(
+        kernel,
+        grid=(n_programs, kt_count, nc),
+        out_shape=jax.ShapeDtypeStruct((n_programs, rb, kt_count * ktile), jnp.float32),
+        in_specs=[
+            pl.BlockSpec((1, 1, nc), lambda p, t, j: (p, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, g, 1), lambda p, t, j: (p, j, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, g), lambda p, t, j: (p, j, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, g, 1), lambda p, t, j: (p, j, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, xwidth), lambda p, t, j: (0, t), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, rb, ktile), lambda p, t, j: (p, 0, t),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(c0, colsT, lrow, valsT, xin)
+    return y.reshape(n_programs * rb, kt_count * ktile)
+
+
+def span_spmm(
+    fmt: SpanFormat,
+    x: jnp.ndarray,
+    *,
+    ktile: int | None = None,
+    precision: str = "fp32x2",
+    unroll: int = 4,
+    interpret: bool | None = None,
+    stream: bool = False,
+) -> jnp.ndarray:
+    """Y[M, K] = A . X[N, K] with A in SpanFormat.
+
+    ``stream=True`` uses the grid-axis chunk variant (per-chunk DMA, no
+    in-register transposes); the default fori-loop variant benches slightly
+    faster on v5e."""
+    assert precision in PRECISIONS, precision
+    if interpret is None:
+        interpret = kernel_backend_interpret()
+    m, n_cols = fmt.shape
+    k = x.shape[1]
+    assert x.shape[0] == n_cols
+    if ktile is None:
+        ktile = k if k <= 128 else 128
+    if k % ktile:
+        x = jnp.pad(x, ((0, 0), (0, ktile - k % ktile)))
+    # window [c0, c0+ct) may read past N: pad X rows by CT
+    x = pad_dense_rows(x.astype(jnp.float32), round_up(n_cols, 8) + fmt.ct)
+    if stream:
+        y_rows = _span_call_stream(
+            fmt.c0, fmt.cols, fmt.lrow, fmt.vals, x,
+            n_programs=fmt.n_programs, nc=fmt.n_chunks, g=fmt.chunk_g,
+            rb=fmt.rb, ct=fmt.ct, ktile=ktile, mode=precision,
+            interpret=interpret,
+        )
+    else:
+        y_rows = _span_call(
+            fmt.c0, fmt.cols[:, :, :, 0], fmt.lrow[:, :, 0, :], fmt.vals[:, :, :, 0],
+            x,
+            n_programs=fmt.n_programs, nc=fmt.n_chunks, g=fmt.chunk_g,
+            rb=fmt.rb, ct=fmt.ct, ktile=ktile, mode=precision,
+            unroll=unroll, interpret=interpret,
+        )
+    slot = jnp.asarray(fmt.slot_of_origrow)
+    oob = y_rows.shape[0]
+    slot = jnp.where(slot < 0, oob, slot)
+    y = jnp.take(y_rows, slot, axis=0, mode="fill", fill_value=0)
+    return y[:, :k]

@@ -43,8 +43,8 @@ from tpusparse.ops import (
     UniformBlockPadOperator,
 )
 
-KERNEL_FAMILIES = ("stripe_total", "nnz_segment", "tile_onehot", "bucketed", "dense",
-                   "block_ell")
+KERNEL_FAMILIES = ("stripe_total", "nnz_segment", "tile_onehot", "span_onehot",
+                   "bucketed", "dense", "block_ell")
 BLOCKINGS = ("merge_path", "balanced", "fixed_rows")
 
 
@@ -104,6 +104,17 @@ def _build_sub_plan(ms, ex, sub: int, sched: Schedule, out_rows: int, interpret)
         def fn(x, fmt=fmt):
             return segment_spmm(fmt, x, ktile=sched.ktile, unroll=max(sched.unroll, 1),
                                 interpret=interpret)
+
+        return fmt, fn
+    if sched.family == "span_onehot":
+        from tpusparse.kernels.span_gather import pack_span, span_spmm
+
+        fmt = pack_span(ms, sub, out_rows=out_rows, rb=sched.rb, ct=sched.ct,
+                        g=sched.g)
+
+        def fn(x, fmt=fmt):
+            return span_spmm(fmt, x, ktile=sched.ktile, precision=sched.precision,
+                             unroll=sched.unroll, interpret=interpret)
 
         return fmt, fn
     if sched.family == "tile_onehot":

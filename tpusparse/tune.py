@@ -44,7 +44,11 @@ def default_candidates(mat: CooMatrix, k: int) -> list[Schedule]:
     avg_len = float(lengths.mean()) if lengths.size else 0.0
     skewed = max_len > 32 * max(avg_len, 1.0)
     cands: list[Schedule] = []
-    # MXU one-hot family — primary throughput path
+    # span-chunked one-hot — the small-K champion (dynamic windows, ~1.1 pad)
+    if k <= 64:
+        for rb, ct, g in ((512, 1024, 512), (640, 1024, 512), (512, 512, 256)):
+            cands.append(Schedule(family="span_onehot", rb=rb, ct=ct, g=g, unroll=4))
+    # MXU one-hot family — primary throughput path at larger K
     for rb, ct, g in ((1024, 1024, 512), (1024, 512, 256), (512, 1024, 256)):
         cands.append(Schedule(family="tile_onehot", rb=rb, ct=ct, g=g, unroll=4))
     # stripe total family (thread/warp/block_total analogues)
