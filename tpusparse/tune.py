@@ -44,8 +44,8 @@ def default_candidates(mat: CooMatrix, k: int) -> list[Schedule]:
     avg_len = float(lengths.mean()) if lengths.size else 0.0
     skewed = max_len > 32 * max(avg_len, 1.0)
     cands: list[Schedule] = []
-    # span-chunked one-hot — the small-K champion (dynamic windows, ~1.1 pad)
-    if k <= 64:
+    # span-chunked one-hot — dominant up to K~128 (dynamic windows, ~1.1 pad)
+    if k <= 128:
         for rb, ct, g in ((512, 1024, 512), (640, 1024, 512), (512, 512, 256)):
             cands.append(Schedule(family="span_onehot", rb=rb, ct=ct, g=g, unroll=4))
     # MXU one-hot family — primary throughput path at larger K
@@ -164,4 +164,14 @@ def tune(
         os.makedirs(cfg.cache_dir, exist_ok=True)
         with open(cache_file, "w") as f:
             json.dump({"schedule": sched.describe(), "seconds": sec}, f)
+        # persist the winner's packed formats (data_source/<id> analogue)
+        try:
+            from tpusparse.artifacts import save_plan_artifact
+
+            save_plan_artifact(
+                sig, sched.describe(), plan.formats,
+                perf={"seconds": sec, "gflops": _gflops(mat.nnz, k, sec), "k": k},
+            )
+        except Exception:
+            pass  # artifact persistence is best-effort
     return TuneResult(best=plan, best_schedule=sched, best_seconds=sec, table=table)
