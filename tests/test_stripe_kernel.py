@@ -75,3 +75,24 @@ def test_stripe_bf16(rng):
     # input quantization
     want = spmm_reference(mat, np.asarray(xb.astype(jnp.float32), dtype=np.float64))
     check_result(y, want, dtype="bfloat16")
+
+
+def test_stripe_index_compression_matches(rng):
+    """MODEL_DRIVEN_INDEX_COMPRESS: computed lrow == loaded lrow."""
+    import numpy as np
+    from tpusparse.config import config_override
+    from tpusparse.generator import prepare_stripe_format
+    from tpusparse.io import builder
+    from tpusparse.kernels.stripe_gather import stripe_spmm
+    from tpusparse.oracle import check_result, spmm_reference
+
+    # uniform nnz per row -> lrow is an exact staircase in every stripe
+    mat = builder.uniform_coo(128, 96, nnz_per_row=8, seed=4)
+    fmt, _ = prepare_stripe_format(mat, work_per_stripe=128, nnz_multiple=8)
+    x = rng.standard_normal((96, 8)).astype(np.float32)
+    with config_override(model_driven_index_compress=True):
+        y_on = np.asarray(stripe_spmm(fmt, x))
+    with config_override(model_driven_index_compress=False):
+        y_off = np.asarray(stripe_spmm(fmt, x))
+    np.testing.assert_allclose(y_on, y_off, rtol=0, atol=0)
+    check_result(y_on, spmm_reference(mat, x.astype(np.float64)), rtol=1e-4)

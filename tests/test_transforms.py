@@ -254,3 +254,22 @@ def test_padding_rate(ms_and_ref):
     nnz0 = ms.nnz(0)
     T.pad_row_nnz_to_multiple(ms, 0, 8)
     assert T.padding_rate(ms, 0, nnz0) >= 1.0
+
+
+def test_merge_adjacent_blocks():
+    import numpy as np
+    from tpusparse.io import builder
+    from tpusparse.levels import Level
+    from tpusparse.meta.set import create_init_metadata_set
+    from tpusparse.transforms.block import block_fixed_interval_rows, merge_adjacent_blocks
+
+    mat = builder.uniform_coo(64, 40, nnz_per_row=4, seed=0)
+    ms = create_init_metadata_set(mat)
+    block_fixed_interval_rows(ms, 0, Level.THREAD, 4)   # 16 blocks of 16 nz
+    n = merge_adjacent_blocks(ms, 0, Level.THREAD, max_nnz=32)
+    assert n == 8
+    nzs = ms.get(Level.THREAD, "first_nz_indices", 0)
+    assert nzs[0] == 0 and nzs[-1] == mat.nnz
+    sizes = np.diff(nzs)
+    assert sizes.max() <= 32
+    ms.logical_check()

@@ -1,0 +1,47 @@
+"""Differentiable SpMM.
+
+No reference counterpart (GeneralSparse has no training story); a TPU-native
+framework embedded in JAX pipelines must compose with ``jax.grad``/``vjp``.
+For Y = A @ X with A a constant sparse matrix, the X-cotangent is
+dX = A^T @ dY — another SpMM with the transpose format.  ``spmm_fn``
+builds both plans through the same schedule machinery (independently tuned
+shapes: A is [M, N], A^T is [N, M]) and wires them with ``jax.custom_vjp``,
+so the backward pass runs a packed TPU kernel instead of XLA's generic
+scatter transpose.
+"""
+
+from __future__ import annotations
+
+import jax
+
+from tpusparse.io.mtx import CooMatrix
+
+
+def spmm_fn(mat: CooMatrix, schedule=None, t_schedule=None, *, interpret=None):
+    """Returns a differentiable ``fn(x) -> A @ x``.
+
+    ``schedule`` / ``t_schedule``: optional explicit Schedules for the
+    forward (A) and backward (A^T) plans; defaults pick the span family.
+    """
+    from tpusparse.schedule import Schedule, build_plan
+
+    if schedule is None:
+        schedule = Schedule(family="span_onehot", rb=512, ct=1024, g=512, unroll=4)
+    if t_schedule is None:
+        t_schedule = schedule
+    fwd_plan = build_plan(mat, schedule, interpret=interpret)
+    bwd_plan = build_plan(mat.transpose().sort_row_major(), t_schedule,
+                          interpret=interpret)
+
+    @jax.custom_vjp
+    def spmm(x):
+        return fwd_plan(x)
+
+    def fwd(x):
+        return fwd_plan(x), None
+
+    def bwd(_, dy):
+        return (bwd_plan(dy),)
+
+    spmm.defvjp(fwd, bwd)
+    return spmm

@@ -24,6 +24,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -31,14 +32,20 @@ from tpusparse.format import StripeFormat
 from tpusparse.kernels.common import cdiv, kernel_backend_interpret, pad_dense_rows
 
 
-def _stripe_kernel(cols_ref, lrow_ref, vals_ref, x_ref, y_ref, *, stripe_nnz, unroll):
+def _stripe_kernel(cols_ref, lrow_ref, vals_ref, x_ref, y_ref, *, stripe_nnz,
+                   unroll, lrow_info=None):
     y_ref[...] = jnp.zeros_like(y_ref)
 
     acc_dtype = y_ref.dtype
 
     def step(i):
         c = cols_ref[0, 0, i]
-        r = lrow_ref[0, 0, i]
+        if lrow_info is None:
+            r = lrow_ref[0, 0, i]
+        else:
+            # model-driven index compression (arr_optimization.cc analogue):
+            # the row index is computed, not loaded
+            r = lrow_info.evaluate(i)
         v = vals_ref[0, 0, i].astype(acc_dtype)
         y_ref[0, pl.ds(r, 1), :] += v * x_ref[pl.ds(c, 1), :].astype(acc_dtype)
 
@@ -54,13 +61,14 @@ def _stripe_kernel(cols_ref, lrow_ref, vals_ref, x_ref, y_ref, *, stripe_nnz, un
         jax.lax.fori_loop(0, stripe_nnz // unroll, body, 0)
 
 
-@functools.partial(jax.jit, static_argnames=("n_stripes", "stripe_nnz", "rb", "ktile", "unroll", "interpret"))
-def _stripe_call(cols, lrow, vals, x, *, n_stripes, stripe_nnz, rb, ktile, unroll, interpret):
+@functools.partial(jax.jit, static_argnames=("n_stripes", "stripe_nnz", "rb", "ktile", "unroll", "interpret", "lrow_info"))
+def _stripe_call(cols, lrow, vals, x, *, n_stripes, stripe_nnz, rb, ktile, unroll, interpret, lrow_info=None):
     n = x.shape[0]
     k = x.shape[1]
     kt = cdiv(k, ktile)
     grid = (n_stripes, kt)
-    kernel = functools.partial(_stripe_kernel, stripe_nnz=stripe_nnz, unroll=unroll)
+    kernel = functools.partial(_stripe_kernel, stripe_nnz=stripe_nnz, unroll=unroll,
+                               lrow_info=lrow_info)
     acc_dtype = jnp.float32  # fp32 accumulation on the VPU (SURVEY §7 hard parts)
     y_slots = pl.pallas_call(
         kernel,
@@ -100,6 +108,26 @@ def stripe_spmm(
     # real col, so indices stay in range) plus sublane alignment is safe
     x = pad_dense_rows(x, -(-x.shape[0] // 8) * 8)
     u = unroll if fmt.stripe_nnz % unroll == 0 else 1
+    # model-driven index compression: if every stripe's lrow follows one
+    # shared closed form, the kernel computes it instead of loading it
+    # (config MODEL_DRIVEN_INDEX_COMPRESS, reference arr_optimization.cc)
+    lrow_info = None
+    from tpusparse.config import get_config
+
+    if get_config().model_driven_index_compress:
+        from tpusparse.transforms.compress import detect_compression
+
+        lrow_np = np.asarray(fmt.lrow)
+        info = detect_compression(lrow_np[0, 0])
+        if info.kind in ("constant", "linear", "cycle_linear", "cycle_increase"):
+            same = all(
+                detect_compression(lrow_np[p, 0]) == info
+                for p in range(min(fmt.n_stripes, 64))
+            ) and (fmt.n_stripes <= 64 or bool(
+                (lrow_np == lrow_np[0:1]).all()
+            ))
+            if same:
+                lrow_info = info
     y_slots = _stripe_call(
         fmt.cols, fmt.lrow, fmt.vals, x,
         n_stripes=fmt.n_stripes,
@@ -108,6 +136,7 @@ def stripe_spmm(
         ktile=ktile,
         unroll=u,
         interpret=interpret,
+        lrow_info=lrow_info,
     )
     slot = jnp.asarray(fmt.slot_of_origrow)
     # -1 sentinels (rows absent from this sub-matrix) must yield zero rows;

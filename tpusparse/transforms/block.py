@@ -224,3 +224,27 @@ def add_block_sizes(ms: MetaDataSet, sub: int, parent: Level, child: Level) -> n
         [f"{parent.short_name}_{name}_{sub}"],
     )
     return sizes
+
+
+def merge_adjacent_blocks(
+    ms: MetaDataSet, sub: int, level: Level, max_nnz: int
+) -> int:
+    """Coalesce consecutive blocks while the combined nnz stays within
+    ``max_nnz`` (reference merge-thread steps:
+    get_begin_{rows,nzs}{,_relative_to_parent}_after_merge_thread @4122-4241,
+    get_begin_BMTs_after_merge_thread @4242).  Rewrites the level's
+    first_row/nz arrays in place; returns the merged block count."""
+    assert max_nnz > 0
+    first_rows = ms.get(level, "first_row_indices", sub)
+    first_nzs = ms.get(level, "first_nz_indices", sub)
+    keep = [0]
+    base = first_nzs[0]
+    for i in range(1, first_nzs.size - 1):
+        if first_nzs[i + 1] - base > max_nnz:
+            keep.append(i)
+            base = first_nzs[i]
+    keep.append(first_nzs.size - 1)
+    idx = np.asarray(sorted(set(keep)), dtype=np.int64)
+    _emit(ms, sub, level, first_rows[idx], first_nzs[idx],
+          f"merge_adjacent_blocks[{level.block_name}]", max_nnz=max_nnz)
+    return idx.size - 1
