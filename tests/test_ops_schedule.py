@@ -171,3 +171,20 @@ def test_tuner_picks_block_ell_candidate():
     mat = builder.block_sparse_coo(512, 512, block=128, block_density=0.3, seed=4)
     fams = {c.family for c in default_candidates(mat, k=16)}
     assert "block_ell" in fams
+
+
+def test_bucketed_with_span_sub_schedules():
+    import numpy as np
+    from tpusparse.io import builder
+    from tpusparse.oracle import check_result, spmm_reference
+    from tpusparse.schedule import Schedule, build_plan
+
+    mat = builder.power_law_coo(300, 240, avg_nnz_per_row=7.0, alpha=1.4, seed=6)
+    x = np.random.default_rng(1).standard_normal((240, 8)).astype(np.float32)
+    sub = Schedule(family="span_onehot", rb=64, ct=128, g=32)
+    sched = Schedule(family="bucketed", bucket_bounds=(16,),
+                     bucket_schedules=(sub, sub))
+    plan = build_plan(mat, sched)
+    assert plan.meta["n_subs"] == 2
+    y = np.asarray(plan(x))
+    check_result(y, spmm_reference(mat, x.astype(np.float64)), rtol=2e-3)
