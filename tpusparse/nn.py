@@ -1,0 +1,106 @@
+"""Sparse neural-network layers (the pruned-LLM serving surface).
+
+The reference's target workload is pruned-LLM weight matrices
+(matrix_example/README.md: FlashLLM magnitude/random-pruned weights) but it
+exposes only a CLI over .mtx files.  Here the same capability is a layer a
+JAX model can call: ``SparseLinear`` wraps a packed/tuned SpMM plan, folds
+arbitrary leading batch/sequence dims into the dense-column grid axis, and
+is differentiable w.r.t. its input (tpusparse.autodiff).
+
+Weight orientation: a linear layer computes ``y = x @ W^T + b`` with
+``W [out_features, in_features]``; tpusparse computes ``Y = A @ X`` with
+``X [in, K]`` — so X is the folded, transposed activation batch and W is A.
+
+Constructors:
+  SparseLinear.from_coo(mat)           unstructured sparse W (CooMatrix)
+  SparseLinear.from_dense(w)           prune-by-zeros dense W
+  SparseLinear.from_nm(w, n, m)        N:M structured W (MXU compact path)
+  SparseLinear.from_block(mat, bs)     block-sparse W (Block-ELL MXU path)
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax.numpy as jnp
+import numpy as np
+
+from tpusparse.io.mtx import CooMatrix
+
+
+class SparseLinear:
+    """y[..., out] = x[..., in] @ W^T + b with sparse W."""
+
+    def __init__(self, apply_fn, out_features: int, in_features: int,
+                 bias: Any | None = None, meta: dict | None = None):
+        self._apply = apply_fn  # X [in, K] -> Y [out, K]
+        self.out_features = out_features
+        self.in_features = in_features
+        self.bias = None if bias is None else jnp.asarray(bias)
+        self.meta = meta or {}
+
+    @classmethod
+    def from_coo(cls, mat: CooMatrix, *, schedule=None, bias=None,
+                 differentiable: bool = False, interpret=None) -> "SparseLinear":
+        if differentiable:
+            from tpusparse.autodiff import spmm_fn
+
+            fn = spmm_fn(mat, schedule, interpret=interpret)
+            meta = {"kind": "coo+vjp"}
+        else:
+            from tpusparse.schedule import Schedule, build_plan
+
+            if schedule is None:
+                schedule = Schedule(family="span_onehot", rb=512, ct=1024, g=512,
+                                    unroll=4)
+            plan = build_plan(mat, schedule, interpret=interpret)
+            fn = plan.fn
+            meta = {"kind": "coo", "schedule": plan.meta["schedule"]}
+        m, n = mat.shape
+        return cls(fn, m, n, bias=bias, meta=meta)
+
+    @classmethod
+    def from_dense(cls, w: np.ndarray, **kwargs) -> "SparseLinear":
+        return cls.from_coo(CooMatrix.from_dense(np.asarray(w)), **kwargs)
+
+    @classmethod
+    def from_nm(cls, w: np.ndarray, *, n_keep: int = 2, group: int = 4,
+                precision: str = "bf16", bias=None, interpret=None) -> "SparseLinear":
+        from tpusparse.kernels.nm_structured import nm_spmm, pack_nm
+
+        fmt = pack_nm(np.asarray(w), n_keep=n_keep, group=group,
+                      dtype=jnp.float32 if precision == "fp32" else jnp.bfloat16)
+
+        def fn(x):
+            return nm_spmm(fmt, x, precision=precision, interpret=interpret)
+
+        m, n = fmt.shape
+        return cls(fn, m, n, bias=bias,
+                   meta={"kind": f"nm_{n_keep}_{group}", "precision": precision})
+
+    @classmethod
+    def from_block(cls, mat: CooMatrix, *, bs: int = 128, precision: str = "bf16",
+                   bias=None, interpret=None) -> "SparseLinear":
+        from tpusparse.kernels.block_ell import block_ell_spmm, pack_block_ell
+
+        fmt = pack_block_ell(mat, bs=bs,
+                             dtype="bfloat16" if precision == "bf16" else "float32")
+
+        def fn(x):
+            return block_ell_spmm(fmt, x, precision=precision, interpret=interpret)
+
+        m, n = mat.shape
+        return cls(fn, m, n, bias=bias, meta={"kind": f"block_{bs}"})
+
+    def __call__(self, x) -> jnp.ndarray:
+        x = jnp.asarray(x)
+        lead = x.shape[:-1]
+        assert x.shape[-1] == self.in_features, (
+            f"last dim {x.shape[-1]} != in_features {self.in_features}"
+        )
+        xk = x.reshape(-1, self.in_features).T  # [in, K]
+        y = self._apply(xk).T                   # [K, out]
+        y = y.reshape(*lead, self.out_features)
+        if self.bias is not None:
+            y = y + self.bias
+        return y
