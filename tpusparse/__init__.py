@@ -30,12 +30,19 @@ __version__ = "0.1.0"
 
 
 def spmm(mat, x, schedule=None, **kwargs):
-    """One-shot SpMM: Y = A @ X.  With no schedule, builds the default
-    tile_onehot plan; pass a Schedule (tpusparse.Schedule) to control it, or
-    use tpusparse.tune.tune for the autotuned path."""
+    """One-shot SpMM: Y = A @ X.  With no schedule, picks the benched
+    default for the K regime (span_onehot at K<=128, tile_onehot above);
+    pass a Schedule (tpusparse.Schedule) to control it, or use
+    tpusparse.tune.tune for the autotuned path."""
     from tpusparse.schedule import Schedule, build_plan
 
-    plan = build_plan(mat, schedule or Schedule(), **kwargs)
+    if schedule is None:
+        k = x.shape[-1]
+        if k <= 128:
+            schedule = Schedule(family="span_onehot", rb=512, ct=1024, g=512, unroll=4)
+        else:
+            schedule = Schedule()
+    plan = build_plan(mat, schedule, **kwargs)
     return plan(x)
 
 
@@ -52,6 +59,12 @@ def __getattr__(name):
         "build_plan": "tpusparse.schedule.build_plan",
         "autotune": "tpusparse.tune.tune",
         "SpmmPlan": "tpusparse.generator.SpmmPlan",
+        "SparseLinear": "tpusparse.nn.SparseLinear",
+        "spmv": "tpusparse.spmv.spmv",
+        "spgemm": "tpusparse.spgemm.spgemm",
+        "batched_spmm": "tpusparse.batched.batched_spmm",
+        "spmm_fn": "tpusparse.autodiff.spmm_fn",
+        "semiring_spmv": "tpusparse.graph.semiring_spmv",
     }
     if name in lazy_map:
         return _lazy(lazy_map[name])
