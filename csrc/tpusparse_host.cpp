@@ -234,3 +234,64 @@ void ts_bucket_counts(const int64_t* key, int64_t nnz, int64_t n_buckets,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Span-format packer (chunk descriptors + padded fill in one pass)
+// ---------------------------------------------------------------------------
+
+extern "C" {
+
+// Phase 1: count chunks per program.  Inputs are the per-program
+// column-sorted nz stream (cols) and program start offsets (p_starts,
+// p_count+1 entries).  A chunk ends when it reaches g nz or its column span
+// would exceed span_budget (window start rounded down to a multiple of 8).
+// Writes out_nc[p]; returns max chunk count.
+int64_t ts_span_count(const int64_t* cols, const int64_t* p_starts,
+                      int64_t p_count, int64_t g, int64_t span_budget,
+                      int64_t* out_nc) {
+  int64_t max_nc = 1;
+  for (int64_t p = 0; p < p_count; ++p) {
+    int64_t i = p_starts[p], hi = p_starts[p + 1], nc = 0;
+    while (i < hi) {
+      int64_t c0 = cols[i] & ~7LL;
+      int64_t j = i;
+      int64_t jcap = std::min(i + g, hi);
+      while (j < jcap && cols[j] - c0 < span_budget + 8) ++j;
+      ++nc;
+      i = j;
+    }
+    if (nc == 0) nc = 1;
+    out_nc[p] = nc;
+    if (nc > max_nc) max_nc = nc;
+  }
+  return max_nc;
+}
+
+// Phase 2: fill padded [p_count, nc, g] arrays (callers pass zeroed buffers
+// of that size) plus c0 [p_count, nc].  Same chunking walk as ts_span_count.
+void ts_span_fill(const int64_t* cols, const int64_t* lrow, const float* vals,
+                  const int64_t* p_starts, int64_t p_count, int64_t g,
+                  int64_t span_budget, int64_t nc,
+                  int32_t* out_c0, int32_t* out_cols, int32_t* out_lrow,
+                  float* out_vals) {
+  for (int64_t p = 0; p < p_count; ++p) {
+    int64_t i = p_starts[p], hi = p_starts[p + 1], ci = 0;
+    while (i < hi && ci < nc) {
+      int64_t c0 = cols[i] & ~7LL;
+      int64_t j = i;
+      int64_t jcap = std::min(i + g, hi);
+      while (j < jcap && cols[j] - c0 < span_budget + 8) ++j;
+      out_c0[p * nc + ci] = (int32_t)c0;
+      int64_t base = (p * nc + ci) * g;
+      for (int64_t t = i; t < j; ++t) {
+        out_cols[base + (t - i)] = (int32_t)(cols[t] - c0);
+        out_lrow[base + (t - i)] = (int32_t)lrow[t];
+        out_vals[base + (t - i)] = vals[t];
+      }
+      ++ci;
+      i = j;
+    }
+  }
+}
+
+}  // extern "C"

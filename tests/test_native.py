@@ -120,3 +120,24 @@ def test_bucket_counts():
     key = np.array([0, 1, 1, 3, 3, 3], np.int64)
     counts = native.bucket_counts(key, 5)
     np.testing.assert_array_equal(counts, [1, 2, 0, 3, 0])
+
+
+def test_span_pack_native_matches_python():
+    import tpusparse.native as nat
+    import tpusparse.kernels.span_gather as sg
+    from tpusparse.io import builder
+
+    mat = builder.power_law_coo(200, 300, avg_nnz_per_row=6.0, seed=11)
+    fmt_native = sg.pack_span(mat, rb=64, ct=128, g=32)
+    # force the python fallback
+    orig = nat.span_pack
+    nat.span_pack = lambda *a, **k: None
+    try:
+        fmt_py = sg.pack_span(mat, rb=64, ct=128, g=32)
+    finally:
+        nat.span_pack = orig
+    assert fmt_native.n_chunks == fmt_py.n_chunks
+    np.testing.assert_array_equal(np.asarray(fmt_native.c0), np.asarray(fmt_py.c0))
+    np.testing.assert_array_equal(np.asarray(fmt_native.cols), np.asarray(fmt_py.cols))
+    np.testing.assert_array_equal(np.asarray(fmt_native.lrow), np.asarray(fmt_py.lrow))
+    np.testing.assert_allclose(np.asarray(fmt_native.vals), np.asarray(fmt_py.vals))

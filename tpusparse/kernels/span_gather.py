@@ -148,34 +148,42 @@ def pack_span(
     p_s = p_arr[order]
     starts = np.searchsorted(p_s, np.arange(p_count + 1))
 
-    chunks: list[list[tuple[int, int, int]]] = [[] for _ in range(p_count)]
-    chunk_c0: list[list[int]] = [[] for _ in range(p_count)]
-    # build (c0, begin, end) chunk descriptors per program (O(#chunks log n))
-    for p in range(p_count):
-        lo, hi = int(starts[p]), int(starts[p + 1])
-        colp = cols_s[lo:hi]
-        i = lo
-        while i < hi:
-            c0 = int(cols_s[i]) & ~7
-            # nz fitting this window, capped at G
-            j_span = lo + int(np.searchsorted(colp, c0 + span_budget + 8, side="left"))
-            j = min(i + g, j_span, hi)
-            chunks[p].append((c0, i, j))
-            chunk_c0[p].append(c0)
-            i = j
+    from tpusparse import native
 
-    nc = max(max((len(c) for c in chunks), default=1), 1)
-    c0_arr = np.zeros((p_count, 1, nc), dtype=np.int32)
-    cols_f = np.zeros((p_count, nc, g), dtype=np.int32)
-    lrow_f = np.zeros((p_count, nc, g), dtype=np.int32)
-    vals_f = np.zeros((p_count, nc, g), dtype=np.float32)
-    for p in range(p_count):
-        for ci, (c0, i, j) in enumerate(chunks[p]):
-            n = j - i
-            c0_arr[p, 0, ci] = c0
-            cols_f[p, ci, :n] = cols_s[i:j] - c0
-            lrow_f[p, ci, :n] = lrow_s[i:j]
-            vals_f[p, ci, :n] = vals_s[i:j]
+    packed = None
+    if native.available():
+        packed = native.span_pack(cols_s, lrow_s, vals_s, starts, g, span_budget)
+    if packed is not None:
+        c0_2d, cols_f, lrow_f, vals_f = packed
+        nc = c0_2d.shape[1]
+        c0_arr = c0_2d[:, None, :]
+    else:
+        chunks: list[list[tuple[int, int, int]]] = [[] for _ in range(p_count)]
+        # build (c0, begin, end) chunk descriptors per program
+        for p in range(p_count):
+            lo, hi = int(starts[p]), int(starts[p + 1])
+            colp = cols_s[lo:hi]
+            i = lo
+            while i < hi:
+                c0 = int(cols_s[i]) & ~7
+                # nz fitting this window, capped at G
+                j_span = lo + int(np.searchsorted(colp, c0 + span_budget + 8, side="left"))
+                j = min(i + g, j_span, hi)
+                chunks[p].append((c0, i, j))
+                i = j
+
+        nc = max(max((len(c) for c in chunks), default=1), 1)
+        c0_arr = np.zeros((p_count, 1, nc), dtype=np.int32)
+        cols_f = np.zeros((p_count, nc, g), dtype=np.int32)
+        lrow_f = np.zeros((p_count, nc, g), dtype=np.int32)
+        vals_f = np.zeros((p_count, nc, g), dtype=np.float32)
+        for p in range(p_count):
+            for ci, (c0, i, j) in enumerate(chunks[p]):
+                n = j - i
+                c0_arr[p, 0, ci] = c0
+                cols_f[p, ci, :n] = cols_s[i:j] - c0
+                lrow_f[p, ci, :n] = lrow_s[i:j]
+                vals_f[p, ci, :n] = vals_s[i:j]
 
     slot_of_origrow = np.full(out_rows, -1, dtype=np.int32)
     keep = rec >= 0

@@ -171,3 +171,47 @@ def bucket_counts(key: np.ndarray, n_buckets: int):
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
     )
     return out
+
+
+def span_pack(cols_sorted, lrow_sorted, vals_sorted, p_starts, g: int,
+              span_budget: int):
+    """Native span-format chunking+fill.  Returns (c0 [P, NC] int32,
+    cols/lrow [P, NC, G] int32, vals [P, NC, G] f32) or None if the native
+    library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    f32p = ctypes.POINTER(ctypes.c_float)
+    if not hasattr(lib, "_span_bound"):
+        lib.ts_span_count.restype = ctypes.c_int64
+        lib.ts_span_count.argtypes = [i64p, i64p, ctypes.c_int64,
+                                      ctypes.c_int64, ctypes.c_int64, i64p]
+        lib.ts_span_fill.restype = None
+        lib.ts_span_fill.argtypes = [i64p, i64p, f32p, i64p, ctypes.c_int64,
+                                     ctypes.c_int64, ctypes.c_int64,
+                                     ctypes.c_int64, i32p, i32p, i32p, f32p]
+        lib._span_bound = True
+    cols_sorted = np.ascontiguousarray(cols_sorted, dtype=np.int64)
+    lrow_sorted = np.ascontiguousarray(lrow_sorted, dtype=np.int64)
+    vals_sorted = np.ascontiguousarray(vals_sorted, dtype=np.float32)
+    p_starts = np.ascontiguousarray(p_starts, dtype=np.int64)
+    p_count = p_starts.size - 1
+    nc_arr = np.zeros(p_count, dtype=np.int64)
+    nc = int(lib.ts_span_count(
+        cols_sorted.ctypes.data_as(i64p), p_starts.ctypes.data_as(i64p),
+        p_count, g, span_budget, nc_arr.ctypes.data_as(i64p),
+    ))
+    c0 = np.zeros((p_count, nc), dtype=np.int32)
+    out_cols = np.zeros((p_count, nc, g), dtype=np.int32)
+    out_lrow = np.zeros((p_count, nc, g), dtype=np.int32)
+    out_vals = np.zeros((p_count, nc, g), dtype=np.float32)
+    lib.ts_span_fill(
+        cols_sorted.ctypes.data_as(i64p), lrow_sorted.ctypes.data_as(i64p),
+        vals_sorted.ctypes.data_as(f32p), p_starts.ctypes.data_as(i64p),
+        p_count, g, span_budget, nc,
+        c0.ctypes.data_as(i32p), out_cols.ctypes.data_as(i32p),
+        out_lrow.ctypes.data_as(i32p), out_vals.ctypes.data_as(f32p),
+    )
+    return c0, out_cols, out_lrow, out_vals
