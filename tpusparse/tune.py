@@ -45,7 +45,8 @@ def default_candidates(mat: CooMatrix, k: int) -> list[Schedule]:
     skewed = max_len > 32 * max(avg_len, 1.0)
     cands: list[Schedule] = []
     # span-chunked one-hot — dominant up to K~128 (dynamic windows, ~1.1 pad)
-    if k <= 128:
+    # needs X resident in VMEM: gate on N * xwidth(bf16 hi+lo) footprint
+    if k <= 128 and mat.shape[1] * 2 * min(k, 128) * 2 <= 6 * 1024 * 1024:
         for rb, ct, g in ((512, 1024, 512), (640, 1024, 512), (512, 512, 256)):
             cands.append(Schedule(family="span_onehot", rb=rb, ct=ct, g=g, unroll=4))
     # MXU one-hot family — primary throughput path at larger K
