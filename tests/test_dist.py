@@ -63,3 +63,34 @@ def test_halo_skewed_matrix():
     fn, put_inputs = build_halo_spmm(fmt, mesh, unroll=4)
     y = np.asarray(fn(*put_inputs(x)))[:, :8]
     check_result(y, spmm_reference(mat, x.astype(np.float64)), rtol=1e-4)
+
+
+@pytest.mark.parametrize("d", [2, 4])
+def test_halo_span_spmm(d):
+    from tpusparse import native
+    if not native.available():
+        pytest.skip("native library required for pack_halo_span")
+    from tpusparse.dist.overlap import build_halo_span_spmm, pack_halo_span
+
+    mat, x = _mat_x(m=280, n=300, k=24, seed=7)
+    fmt = pack_halo_span(mat, d, rows_per_program=64, ct=64, g=32)
+    mesh = Mesh(np.array(jax.devices()[:d]), ("rows",))
+    fn, put_inputs = build_halo_span_spmm(fmt, mesh)
+    y = np.asarray(fn(*put_inputs(x)))[:, : x.shape[1]]
+    want = spmm_reference(mat, x.astype(np.float64))
+    check_result(y, want, rtol=1e-3)
+
+
+def test_halo_span_skewed():
+    from tpusparse import native
+    if not native.available():
+        pytest.skip("native library required for pack_halo_span")
+    from tpusparse.dist.overlap import build_halo_span_spmm, pack_halo_span
+
+    mat = builder.power_law_coo(200, 150, avg_nnz_per_row=8.0, alpha=1.3, seed=11)
+    x = np.random.default_rng(0).standard_normal((150, 8)).astype(np.float32)
+    fmt = pack_halo_span(mat, 4, rows_per_program=32, ct=40, g=16)
+    mesh = Mesh(np.array(jax.devices()[:4]), ("rows",))
+    fn, put_inputs = build_halo_span_spmm(fmt, mesh)
+    y = np.asarray(fn(*put_inputs(x)))[:, :8]
+    check_result(y, spmm_reference(mat, x.astype(np.float64)), rtol=1e-3)

@@ -42,17 +42,26 @@ def measure_scaling(
     x = np.random.default_rng(seed + 1).standard_normal((n, k)).astype(np.float32)
     want = spmm_reference(mat, x.astype(np.float64))
 
+    from tpusparse import native
+
     rows = []
     base = None
     for d in device_counts:
-        fmt = pack_halo_stripe(mat, d, rows_per_stripe=64)
-        mesh = Mesh(np.array(jax.devices()[:d]), ("rows",))
-        fn, put_inputs = build_halo_spmm(fmt, mesh)
+        if native.available():
+            from tpusparse.dist.overlap import build_halo_span_spmm, pack_halo_span
+
+            fmt = pack_halo_span(mat, d, rows_per_program=512, ct=512, g=256)
+            mesh = Mesh(np.array(jax.devices()[:d]), ("rows",))
+            fn, put_inputs = build_halo_span_spmm(fmt, mesh)
+        else:
+            fmt = pack_halo_stripe(mat, d, rows_per_stripe=64)
+            mesh = Mesh(np.array(jax.devices()[:d]), ("rows",))
+            fn, put_inputs = build_halo_spmm(fmt, mesh)
         args = put_inputs(jnp.asarray(x))
         y = np.asarray(fn(*args))[:, :k]
         check_result(y, want, rtol=1e-3)
 
-        sec = time_fn(lambda xs, a=args: fn(a[0], a[1], a[2], a[3], xs), args[4], iters=iters)
+        sec = time_fn(lambda xs, a=args: fn(*a[:-1], xs), args[-1], iters=iters)
         nnz_per_s = mat.nnz / sec
         if base is None:
             base = nnz_per_s

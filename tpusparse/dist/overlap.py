@@ -219,3 +219,230 @@ def build_halo_spmm(
         )
 
     return fn, put_inputs
+
+
+# ---------------------------------------------------------------------------
+# Span-kernel halo ring (the fast per-chip path under the same exchange)
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class HaloSpanFormat:
+    """Ring-overlapped halo format carrying span-chunked sub-formats.
+
+    Per (device d, X-chunk c): the device's rows are dealt to P programs
+    (balanced round-robin over the device's full nz, shared across chunks so
+    chunk partials accumulate in place); each program's chunk-c nz are
+    column-sorted and cut into G-sized span chunks with chunk-local window
+    starts.  NC is the max over (d, c, program).
+
+      c0    [D, C, P, 1, NC] int32
+      cols  [D, C, P, NC, G] int32 (window-local)
+      lrow  [D, C, P, NC, G] int32 (program-local)
+      vals  [D, C, P, NC, G] f32
+      slot_of_origrow [M] int32  (d * P + p) * RB + r
+    """
+
+    c0: Any
+    cols: Any
+    lrow: Any
+    vals: Any
+    slot_of_origrow: Any
+    shape: tuple[int, int]
+    n_devices: int
+    programs_per_device: int
+    n_chunks_span: int   # NC
+    chunk_g: int         # G
+    rb: int
+    ct: int
+    n_chunk_rows: int    # X rows per ring chunk
+
+    @property
+    def padding_rate(self) -> float:
+        total = (self.n_devices ** 2 * self.programs_per_device
+                 * self.n_chunks_span * self.chunk_g)
+        nnz = int(np.count_nonzero(np.asarray(self.vals)))
+        return total / max(nnz, 1)
+
+
+def pack_halo_span(
+    mat: CooMatrix,
+    n_devices: int,
+    *,
+    rows_per_program: int = 512,
+    ct: int = 512,
+    g: int = 256,
+) -> HaloSpanFormat:
+    from tpusparse.kernels.common import round_up as _round_up
+
+    m, n = mat.shape
+    d = n_devices
+    rb = rows_per_program
+    rows = np.asarray(mat.rows)
+    cols = np.asarray(mat.cols)
+    vals = np.asarray(mat.vals, dtype=np.float32)
+
+    # balanced-nnz contiguous row partition over devices
+    row_ptr = mat.to_csr_ptr()
+    targets = (np.arange(1, d) * mat.nnz) // d
+    cut_rows = np.searchsorted(row_ptr, targets, side="left")
+    bounds = np.maximum.accumulate(
+        np.concatenate([[0], cut_rows, [m]]).astype(np.int64))
+
+    n_chunk_rows = _round_up(-(-max(n, 1) // d), 8)
+    span_budget = ct - 8
+
+    # within each device: deal rows round-robin by length (shared across chunks)
+    lengths = np.bincount(rows, minlength=m)
+    dev_of_row = np.searchsorted(bounds, np.arange(m), side="right") - 1
+    p_of_row = np.zeros(m, dtype=np.int64)
+    lrow_of_row = np.zeros(m, dtype=np.int64)
+    p_max = 1
+    for dd in range(d):
+        sel = np.arange(bounds[dd], bounds[dd + 1])
+        if sel.size == 0:
+            continue
+        p_cnt = max(-(-sel.size // rb), 1)
+        p_max = max(p_max, p_cnt)
+        by_len = sel[np.argsort(-lengths[sel], kind="stable")]
+        ranks = np.arange(sel.size)
+        p_of_row[by_len] = ranks % p_cnt
+        lrow_of_row[by_len] = ranks // p_cnt
+    p_loc = p_max
+
+    dev_nz = dev_of_row[rows]
+    chunk_nz = cols // n_chunk_rows
+    prog_nz = p_of_row[rows]
+    lcol_nz = cols % n_chunk_rows
+    lrow_nz = lrow_of_row[rows]
+
+    # sort by (dev, chunk, program, local col) and pack each bucket with the
+    # span chunk walk
+    key = (dev_nz * d + chunk_nz) * p_loc + prog_nz
+    order = np.lexsort((lcol_nz, key))
+    key_s = key[order]
+    lcol_s = lcol_nz[order].astype(np.int64)
+    lrow_s = lrow_nz[order].astype(np.int64)
+    vals_s = vals[order]
+    buckets = d * d * p_loc
+    starts = np.searchsorted(key_s, np.arange(buckets + 1))
+
+    from tpusparse import native
+
+    packed = None
+    if native.available():
+        packed = native.span_pack(lcol_s, lrow_s, vals_s, starts, g, span_budget)
+    if packed is None:
+        raise RuntimeError("pack_halo_span requires the native library "
+                           "(csrc); build it with `make -C csrc`")
+    c0_2d, cols_f, lrow_f, vals_f = packed
+    nc = c0_2d.shape[1]
+
+    shape5 = (d, d, p_loc)
+    slot = np.full(m, -1, dtype=np.int32)
+    slot[:] = ((dev_of_row * p_loc + p_of_row) * rb + lrow_of_row).astype(np.int32)
+
+    return HaloSpanFormat(
+        c0=jnp.asarray(c0_2d.reshape(*shape5, 1, nc)),
+        cols=jnp.asarray(cols_f.reshape(*shape5, nc, g)),
+        lrow=jnp.asarray(lrow_f.reshape(*shape5, nc, g)),
+        vals=jnp.asarray(vals_f.reshape(*shape5, nc, g)),
+        slot_of_origrow=jnp.asarray(slot),
+        shape=(m, n),
+        n_devices=d,
+        programs_per_device=p_loc,
+        n_chunks_span=nc,
+        chunk_g=g,
+        rb=rb,
+        ct=ct,
+        n_chunk_rows=n_chunk_rows,
+    )
+
+
+def build_halo_span_spmm(
+    fmt: HaloSpanFormat,
+    mesh: Mesh,
+    *,
+    ktile: int | None = None,
+    unroll: int = 4,
+    interpret: bool | None = None,
+):
+    """Span-kernel variant of build_halo_spmm: same ppermute ring, ~5x the
+    per-chip throughput at small K."""
+    from tpusparse.kernels.span_gather import _span_call
+
+    if interpret is None:
+        interpret = kernel_backend_interpret()
+    d = fmt.n_devices
+    assert mesh.shape["rows"] == d, (mesh.shape, d)
+    p_loc = fmt.programs_per_device
+    rb = fmt.rb
+    nc = fmt.n_chunks_span
+    g = fmt.chunk_g
+    ct = fmt.ct
+    perm = [(i, (i + 1) % d) for i in range(d)]
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P("rows"), P("rows"), P("rows"), P("rows"), P("rows", None)),
+        out_specs=P("rows", None),
+        check_vma=False,
+    )
+    def ring_kernel(c0, cols, lrow, vals, x_chunk):
+        c0, cols, lrow, vals = c0[0], cols[0], lrow[0], vals[0]
+        me = jax.lax.axis_index("rows")
+        kt = x_chunk.shape[1] if x_chunk.shape[1] <= 128 else 128
+        if ktile is not None:
+            kt = ktile
+
+        def step(s, carry):
+            x_cur, y = carry
+            x_next = jax.lax.ppermute(x_cur, "rows", perm)
+            chunk = jax.lax.rem(me - s + d, d)
+            sub = [jax.lax.dynamic_index_in_dim(a, chunk, 0, keepdims=False)
+                   for a in (c0, cols, lrow, vals)]
+            # window may read past the chunk: X is padded by CT below
+            part = _span_call(
+                sub[0], sub[1], sub[2], sub[3], x_cur,
+                n_programs=p_loc, nc=nc, g=g, rb=rb, ct=ct,
+                ktile=kt, mode="fp32x2", unroll=unroll, interpret=interpret,
+            )
+            return x_next, y + part
+
+        k_pad = x_chunk.shape[1]
+        y0 = jnp.zeros((p_loc * rb, ((k_pad + kt - 1) // kt) * kt), jnp.float32)
+        _, y = jax.lax.fori_loop(0, d, step, (x_chunk, y0))
+        return y[:, :k_pad]
+
+    @jax.jit
+    def fn(c0, cols, lrow, vals, slot, x):
+        y_slots = ring_kernel(c0, cols, lrow, vals, x)
+        oob = y_slots.shape[0]
+        slot = jnp.where(slot < 0, oob, slot)
+        return jnp.take(y_slots, slot, axis=0, mode="fill", fill_value=0)
+
+    def put_inputs(x):
+        n_pad = d * fmt.n_chunk_rows
+        x = jnp.asarray(x, jnp.float32)
+        if x.shape[0] < n_pad:
+            x = jnp.pad(x, ((0, n_pad - x.shape[0]), (0, 0)))
+        # per-device X chunk padded by CT rows so span windows never read OOB:
+        # reshape to [D, chunk+ct, K] is not ring-shardable, so instead pad
+        # every chunk by replicating zeros — achieved by storing chunks
+        # disjointly with a CT-zero tail: [D * (chunk_rows + ct_pad), K]
+        ct_pad = ((ct + 7) // 8) * 8
+        xc = x.reshape(d, fmt.n_chunk_rows, -1)
+        xc = jnp.pad(xc, ((0, 0), (0, ct_pad), (0, 0)))
+        xflat = xc.reshape(d * (fmt.n_chunk_rows + ct_pad), -1)
+        row5 = NamedSharding(mesh, P("rows", None, None, None, None))
+        return (
+            jax.device_put(fmt.c0, row5),
+            jax.device_put(fmt.cols, row5),
+            jax.device_put(fmt.lrow, row5),
+            jax.device_put(fmt.vals, row5),
+            jax.device_put(fmt.slot_of_origrow, NamedSharding(mesh, P())),
+            jax.device_put(xflat, NamedSharding(mesh, P("rows", None))),
+        )
+
+    return fn, put_inputs
