@@ -47,9 +47,10 @@ def main():
     from tpusparse.generator import build_tile_plan
 
     from tpusparse.schedule import Schedule, build_plan
+    from tpusparse.tune import _span_configs
 
     candidates = []
-    for rb, ct, g in ((512, 1024, 512), (640, 1024, 512), (512, 512, 256)):
+    for rb, ct, g in _span_configs(mat.density)[:3]:
         candidates.append((
             f"span rb={rb} ct={ct} g={g}",
             lambda rb=rb, ct=ct, g=g: build_plan(

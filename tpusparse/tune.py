@@ -36,6 +36,31 @@ def matrix_signature(mat: CooMatrix) -> str:
     return h.hexdigest()[:16]
 
 
+def _span_configs(density: float) -> list[tuple[int, int, int]]:
+    """Density-adaptive (rb, ct, g) for the span family: a G-chunk of
+    column-sorted nz spans ~G/(density*RB) columns, so the window needs
+    CT*RB ~ 1.3*G/density; minimizing MXU cost (CT+RB) puts both near the
+    square root.  Emit a few spread candidates for the tuner to time."""
+    density = max(density, 1e-8)
+
+    import math
+
+    def pow2(v, lo, hi, up=False):
+        f = math.ceil if up else round
+        return int(min(max(2 ** f(math.log2(max(v, 1))), lo), hi))
+
+    out = []
+    for g in (512, 256):
+        prod = min(max(1.3 * g / density, 512 * 512), 2048 * 4096)
+        side = prod ** 0.5
+        rb = pow2(side, 256, 2048)
+        ct = pow2(prod / rb, 256, 4096, up=True)  # window must cover the span
+        for cand in ((rb, ct, g), (max(rb // 2, 256), ct, g)):
+            if cand not in out:
+                out.append(cand)
+    return out[:4]
+
+
 def default_candidates(mat: CooMatrix, k: int) -> list[Schedule]:
     """Heuristic candidate set (the reference's 7 pipelines + param grid,
     pruned by matrix statistics)."""
@@ -47,7 +72,7 @@ def default_candidates(mat: CooMatrix, k: int) -> list[Schedule]:
     # span-chunked one-hot — dominant up to K~128 (dynamic windows, ~1.1 pad)
     # needs X resident in VMEM: gate on N * xwidth(bf16 hi+lo) footprint
     if k <= 128 and mat.shape[1] * 2 * min(k, 128) * 2 <= 6 * 1024 * 1024:
-        for rb, ct, g in ((512, 1024, 512), (640, 1024, 512), (512, 512, 256)):
+        for rb, ct, g in _span_configs(mat.density):
             cands.append(Schedule(family="span_onehot", rb=rb, ct=ct, g=g, unroll=4))
     # MXU one-hot family — primary throughput path at larger K
     for rb, ct, g in ((1024, 1024, 512), (1024, 512, 256), (512, 1024, 256)):
