@@ -62,3 +62,14 @@ def test_span_from_metadata_set():
     fmt = pack_span(ms, 0, out_rows=mat.shape[0], rb=64, ct=128, g=32)
     y = np.asarray(span_spmm(fmt, x, precision="fp32"))
     check_result(y, spmm_reference(mat, x.astype(np.float64)), rtol=1e-5)
+
+
+def test_span_bf16_vals_storage():
+    """HALF-mode parity: values stored bf16, fp32 accumulation."""
+    mat, x = _case(k=8, avg=8.0, seed=13)
+    fmt = pack_span(mat, rb=64, ct=128, g=32, val_dtype="bfloat16")
+    import numpy as np
+    assert str(np.asarray(fmt.vals).dtype) == "bfloat16"
+    y = np.asarray(span_spmm(fmt, x, precision="bf16"))
+    want = spmm_reference(mat, x.astype(np.float64))
+    check_result(y, want, rtol=5e-2)

@@ -92,6 +92,7 @@ def pack_span(
     ct: int = 512,
     g: int = 128,
     balance: bool = True,
+    val_dtype=None,
 ) -> SpanFormat:
     """Pack a CooMatrix (or a MetaDataSet sub-matrix) into SpanFormat.
 
@@ -193,7 +194,10 @@ def pack_span(
         c0=jnp.asarray(c0_arr),
         cols=jnp.asarray(cols_f[:, :, :, None]),
         lrow=jnp.asarray(lrow_f[:, :, None, :]),
-        vals=jnp.asarray(vals_f[:, :, :, None]),
+        # reference HALF mode maps to bf16 on TPU (val_dtype='bfloat16');
+        # the kernel accumulates fp32 regardless
+        vals=jnp.asarray(vals_f[:, :, :, None],
+                         dtype=val_dtype if val_dtype is not None else jnp.float32),
         slot_of_origrow=jnp.asarray(slot_of_origrow),
         n_programs=p_count,
         n_chunks=nc,
