@@ -145,7 +145,20 @@ def _build_dense_plan(mat: CooMatrix, sched: Schedule) -> SpmmPlan:
     dt = jnp.bfloat16 if sched.precision == "bf16" else jnp.float32
     prec = (jax.lax.Precision.HIGHEST if dt == jnp.float32
             else jax.lax.Precision.DEFAULT)
-    a = jnp.asarray(mat.to_dense(np.float32), dtype=dt)
+    m, n = mat.shape
+    if m * n * np.dtype("float32").itemsize <= 256 * 1024 * 1024:
+        a = jnp.asarray(mat.to_dense(np.float32), dtype=dt)
+    else:
+        # large A: densify on device (host->device transfer of a multi-GB
+        # dense array dominates otherwise); one-time scatter cost
+        @jax.jit
+        def _densify(rows, cols, vals):
+            z = jnp.zeros((m, n), dt)
+            return z.at[rows, cols].add(vals.astype(dt))
+
+        a = _densify(jnp.asarray(mat.rows, jnp.int32),
+                     jnp.asarray(mat.cols, jnp.int32),
+                     jnp.asarray(mat.vals, jnp.float32))
 
     @jax.jit
     def _mm(a, x):

@@ -184,6 +184,12 @@ def pad_blocks_to_uniform_nnz(ms: MetaDataSet, sub: int, level: Level, multiple_
     c = int(sizes.max()) if sizes.size else 0
     c = -(-max(c, 1) // multiple_of) * multiple_of
     n_blocks = first_nzs.size - 1
+    if n_blocks <= 0:  # empty matrix: one all-padding block
+        n_blocks = 1
+        first_rows = np.zeros(2, dtype=np.int64)
+        first_nzs = np.zeros(2, dtype=np.int64)
+        sizes = np.zeros(1, dtype=np.int64)
+        ms.add(level, "first_row_indices", sub, first_rows, replace=True)
     deficit = c - sizes
     # row id for each block's padding: last nz row in block, else block first row
     if rows.size:

@@ -87,9 +87,10 @@ def default_candidates(mat: CooMatrix, k: int) -> list[Schedule]:
         cands.append(Schedule(family="nnz_segment", work_per_block=2048, unroll=8))
         cands.append(Schedule(family="bucketed", bucket_bounds=(max(int(8 * avg_len), 32),)))
     # dense MXU matmul — wins at high density or large K where the one-hot
-    # gather exceeds the dense product's FLOPs; gate on densified size
+    # gather exceeds the dense product's FLOPs; gate on densified HBM size
+    # (densification happens on device for large A)
     m, n = mat.shape
-    if m * n * 2 <= 512 * 1024 * 1024 and (mat.density > 0.02 or k >= 256):
+    if m * n * 2 <= 4 * 1024 ** 3 and (mat.density > 0.02 or k >= 256):
         cands.append(Schedule(family="dense", precision="bf16"))
     # block-ELL MXU path — candidate when nz cluster into dense 128-blocks
     br = mat.rows >> 7
