@@ -116,3 +116,26 @@ def test_csr_ptr(small_coo):
     assert ptr[0] == 0 and ptr[-1] == small_coo.nnz
     lengths = np.diff(ptr)
     np.testing.assert_array_equal(lengths, small_coo.row_lengths())
+
+
+def test_scipy_interop():
+    import numpy as np
+    import scipy.sparse as sp
+    from tpusparse.io.mtx import CooMatrix
+
+    s = sp.random(30, 20, density=0.2, format="csr", random_state=1)
+    mat = CooMatrix.from_scipy(s)
+    np.testing.assert_allclose(mat.to_dense(np.float64), s.toarray())
+    back = mat.to_scipy()
+    np.testing.assert_allclose(back.toarray(), s.toarray())
+
+
+def test_bcoo_interop():
+    import numpy as np
+    from tpusparse.io import builder
+    from tpusparse.io.mtx import CooMatrix
+
+    mat = builder.uniform_coo(24, 16, nnz_per_row=3, seed=2)
+    b = mat.to_bcoo()
+    back = CooMatrix.from_bcoo(b)
+    np.testing.assert_allclose(back.to_dense(np.float64), mat.to_dense(np.float64))

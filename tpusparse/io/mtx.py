@@ -91,6 +91,40 @@ class CooMatrix:
         rows, cols = np.nonzero(dense)
         return cls(rows.astype(np.int64), cols.astype(np.int64), dense[rows, cols], dense.shape)
 
+    @classmethod
+    def from_scipy(cls, sp_mat) -> "CooMatrix":
+        """From any scipy.sparse matrix."""
+        coo = sp_mat.tocoo()
+        return cls(
+            coo.row.astype(np.int64), coo.col.astype(np.int64),
+            np.asarray(coo.data), tuple(coo.shape),
+        ).sort_row_major()
+
+    def to_scipy(self):
+        import scipy.sparse as sp
+
+        return sp.coo_matrix((self.vals, (self.rows, self.cols)), shape=self.shape)
+
+    @classmethod
+    def from_bcoo(cls, bcoo) -> "CooMatrix":
+        """From a jax.experimental.sparse.BCOO (2D, unbatched)."""
+        idx = np.asarray(bcoo.indices)
+        assert idx.ndim == 2 and idx.shape[1] == 2, "expected unbatched 2D BCOO"
+        return cls(
+            idx[:, 0].astype(np.int64), idx[:, 1].astype(np.int64),
+            np.asarray(bcoo.data), tuple(bcoo.shape),
+        ).sort_row_major().dedup()
+
+    def to_bcoo(self, dtype=np.float32):
+        import jax.numpy as jnp
+        from jax.experimental import sparse as jsparse
+
+        indices = jnp.stack(
+            [jnp.asarray(self.rows, jnp.int32), jnp.asarray(self.cols, jnp.int32)],
+            axis=1,
+        )
+        return jsparse.BCOO((jnp.asarray(self.vals, dtype), indices), shape=self.shape)
+
 
 def read_mtx(path_or_file, graph_mode: str | None = None) -> CooMatrix:
     """Read a Matrix-Market (or bare COO) file into a row-major CooMatrix.
