@@ -17,7 +17,7 @@ import time
 
 
 def run_suite(quick: bool = False, out_path: str = "BENCH_SUITE.jsonl"):
-    import jax
+
     import jax.numpy as jnp
     import numpy as np
 

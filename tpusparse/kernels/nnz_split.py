@@ -17,7 +17,6 @@ as the block-local segment id.
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 from tpusparse.format import SegmentFormat

@@ -23,8 +23,6 @@ import functools
 
 import jax
 import jax.numpy as jnp
-import numpy as np
-
 from tpusparse.io.mtx import CooMatrix
 
 
