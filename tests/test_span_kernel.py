@@ -73,3 +73,28 @@ def test_span_bf16_vals_storage():
     y = np.asarray(span_spmm(fmt, x, precision="bf16"))
     want = spmm_reference(mat, x.astype(np.float64))
     check_result(y, want, rtol=5e-2)
+
+
+def test_span_colsplit_family():
+    import numpy as np
+    from tpusparse.schedule import Schedule, build_plan
+    from tpusparse.io import builder
+
+    # wide matrix: many more cols than the per-split width
+    mat = builder.power_law_coo(128, 1200, avg_nnz_per_row=6.0, seed=17)
+    x = np.random.default_rng(3).standard_normal((1200, 8)).astype(np.float32)
+    plan = build_plan(mat, Schedule(family="span_colsplit", col_split=4,
+                                    rb=64, ct=128, g=32))
+    assert plan.meta["n_subs"] == 4
+    y = np.asarray(plan(x))
+    check_result(y, spmm_reference(mat, x.astype(np.float64)), rtol=2e-3)
+
+
+def test_tuner_colsplit_candidate():
+    from tpusparse.io import builder
+    from tpusparse.tune import default_candidates
+
+    # N large enough that resident span is gated out at K=128
+    mat = builder.power_law_coo(1024, 300000, avg_nnz_per_row=3.0, seed=1)
+    fams = {c.family for c in default_candidates(mat, k=128)}
+    assert "span_colsplit" in fams and "span_onehot" not in fams

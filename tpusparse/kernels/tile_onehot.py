@@ -180,9 +180,9 @@ def _tile_kernel_stream(ct_ref, cols_ref, lrow_ref, vals_ref, xwin_ref, y_ref, *
 
     ct = xwin_ref.shape[0]
     iota_ct_lane = jax.lax.broadcasted_iota(jnp.int32, (1, ct), 1)
-    cl = cols_ref[0, 0, :].reshape(g, 1)
-    lr = lrow_ref[0, 0, :]
-    v = vals_ref[0, 0, :].reshape(g, 1).astype(f32)
+    cl = cols_ref[0, 0, 0, :].reshape(g, 1)
+    lr = lrow_ref[0, 0, 0, :]
+    v = vals_ref[0, 0, 0, :].reshape(g, 1).astype(f32)
     if mode == "fp32":
         colhot = (cl == iota_ct_lane).astype(f32)
         gathered = dot(colhot, xwin_ref[...].astype(f32), HI)
@@ -221,13 +221,18 @@ def _tile_call_stream(chunk_tile, cols, lrow, vals, x, *, n_programs, nc, g, rb,
     xin, xwidth = _prep_x(x, mode, ktile)
     kernel = functools.partial(_tile_kernel_stream, g=g, rb=rb, mode=mode)
     ct2d = chunk_tile.reshape(n_programs, nc)
+    # trailing singleton so the per-chunk block's last two dims equal the
+    # array dims (Mosaic block-shape rule)
+    cols4 = cols.reshape(n_programs, nc, 1, g)
+    lrow4 = lrow.reshape(n_programs, nc, 1, g)
+    vals4 = vals.reshape(n_programs, nc, 1, g)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_programs, kt_count, nc),
         in_specs=[
-            pl.BlockSpec((1, 1, g), lambda p, t, j, ctr: (p, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, g), lambda p, t, j, ctr: (p, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, g), lambda p, t, j, ctr: (p, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, g), lambda p, t, j, ctr: (p, j, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, g), lambda p, t, j, ctr: (p, j, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, g), lambda p, t, j, ctr: (p, j, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((ct, xwidth), lambda p, t, j, ctr: (ctr[p, j], t),
                          memory_space=pltpu.VMEM),
         ],
@@ -239,7 +244,7 @@ def _tile_call_stream(chunk_tile, cols, lrow, vals, x, *, n_programs, nc, g, rb,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_programs, rb, kt_count * ktile), jnp.float32),
         interpret=interpret,
-    )(ct2d, cols, lrow, vals, xin)
+    )(ct2d, cols4, lrow4, vals4, xin)
     return y.reshape(n_programs * rb, kt_count * ktile)
 
 

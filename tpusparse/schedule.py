@@ -44,7 +44,7 @@ from tpusparse.ops import (
 )
 
 KERNEL_FAMILIES = ("stripe_total", "nnz_segment", "tile_onehot", "span_onehot",
-                   "bucketed", "dense", "block_ell")
+                   "span_colsplit", "bucketed", "dense", "block_ell")
 BLOCKINGS = ("merge_path", "balanced", "fixed_rows")
 
 
@@ -61,10 +61,11 @@ class Schedule:
     blocking: str = "merge_path"       # stripe_total: merge_path|balanced|fixed_rows
     work_per_block: int = 1024         # stripe/segment nnz (or work) budget
     row_interval: int = 256            # fixed_rows interval
-    # tile_onehot params
+    # tile_onehot / span params
     rb: int = 1024
     ct: int = 1024
     g: int = 512
+    col_split: int = 0                 # span_colsplit: number of column ranges
     # implementing
     precision: str = "fp32x2"          # tile kernel precision mode
     unroll: int = 4
@@ -198,11 +199,54 @@ def _build_block_ell_plan(mat: CooMatrix, sched: Schedule, interpret) -> SpmmPla
     )
 
 
+def _build_span_colsplit_plan(mat: CooMatrix, sched: Schedule, interpret) -> SpmmPlan:
+    """Column-partitioned span family for large N at small K: the span
+    kernel needs X resident in VMEM, so the matrix is split into
+    ``col_split`` column ranges (the reference's col-direction matrix-div
+    idea applied at the plan level), each packed independently; the plan
+    sums the partial products.  Every sub-format gathers back to the full
+    output rows, so the sum is a plain add."""
+    import jax.numpy as jnp
+
+    from tpusparse.kernels.span_gather import pack_span, span_spmm
+
+    m, n = mat.shape
+    s = max(int(sched.col_split), 2)
+    width = -(-n // s)
+    fmts, ranges = [], []
+    for lo in range(0, n, width):
+        hi = min(lo + width, n)
+        sel = (mat.cols >= lo) & (mat.cols < hi)
+        sub = CooMatrix(mat.rows[sel], mat.cols[sel] - lo, mat.vals[sel], (m, hi - lo))
+        fmts.append(pack_span(sub, rb=sched.rb, ct=min(sched.ct, hi - lo + 8),
+                              g=sched.g))
+        ranges.append((lo, hi))
+
+    def fn(x):
+        y = None
+        for fmt, (lo, hi) in zip(fmts, ranges):
+            part = span_spmm(fmt, x[lo:hi], ktile=sched.ktile,
+                             precision=sched.precision, unroll=sched.unroll,
+                             interpret=interpret)
+            y = part if y is None else y + part
+        return y
+
+    pads = [f.padding_rate for f in fmts]
+    return SpmmPlan(
+        fn=fn, formats=fmts, shape=mat.shape,
+        meta={"schedule": sched.describe(), "n_subs": len(fmts),
+              "padding_rate": float(np.mean(pads)) if pads else 1.0,
+              "operator_history": f"span_colsplit[{s}]"},
+    )
+
+
 def build_plan(mat: CooMatrix, sched: Schedule, *, interpret: bool | None = None) -> SpmmPlan:
     if sched.family == "dense":
         return _build_dense_plan(mat, sched)
     if sched.family == "block_ell":
         return _build_block_ell_plan(mat, sched, interpret)
+    if sched.family == "span_colsplit":
+        return _build_span_colsplit_plan(mat, sched, interpret)
     ms = create_init_metadata_set(mat)
     ex = OperatorExecutor(ms)
     out_rows = mat.shape[0]

@@ -70,10 +70,18 @@ def default_candidates(mat: CooMatrix, k: int) -> list[Schedule]:
     skewed = max_len > 32 * max(avg_len, 1.0)
     cands: list[Schedule] = []
     # span-chunked one-hot — dominant up to K~128 (dynamic windows, ~1.1 pad)
-    # needs X resident in VMEM: gate on N * xwidth(bf16 hi+lo) footprint
-    if k <= 128 and mat.shape[1] * 2 * min(k, 128) * 2 <= 6 * 1024 * 1024:
-        for rb, ct, g in _span_configs(mat.density):
-            cands.append(Schedule(family="span_onehot", rb=rb, ct=ct, g=g, unroll=4))
+    # needs X resident in VMEM: gate on N * xwidth(bf16 hi+lo) footprint;
+    # above the limit, the column-split variant sums per-range sub-plans
+    x_bytes = mat.shape[1] * 2 * min(k, 128) * 2
+    if k <= 128:
+        if x_bytes <= 6 * 1024 * 1024:
+            for rb, ct, g in _span_configs(mat.density):
+                cands.append(Schedule(family="span_onehot", rb=rb, ct=ct, g=g, unroll=4))
+        else:
+            s = -(-x_bytes // (4 * 1024 * 1024))
+            for rb, ct, g in _span_configs(mat.density)[:2]:
+                cands.append(Schedule(family="span_colsplit", col_split=s,
+                                      rb=rb, ct=ct, g=g, unroll=4))
     # MXU one-hot family — primary throughput path at larger K
     for rb, ct, g in ((1024, 1024, 512), (1024, 512, 256), (512, 1024, 256)):
         cands.append(Schedule(family="tile_onehot", rb=rb, ct=ct, g=g, unroll=4))
