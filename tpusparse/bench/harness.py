@@ -11,8 +11,11 @@ total / iters, overhead amortized.
 
 from __future__ import annotations
 
+import itertools
 import time
 from typing import Callable
+
+_salt = itertools.count(1)
 
 import jax
 import jax.numpy as jnp
@@ -46,7 +49,11 @@ def time_fn(fn: Callable, x, *, iters: int = 20, warmup: int = 2) -> float:
     long = _chain(fn, 2 * iters)
 
     def perturb(i):
-        return (x + jnp.asarray(i * 1e-6, x.dtype)).block_until_ready()
+        # globally unique inputs: repeated time_fn calls in one process must
+        # never reuse an (executable, args) pair, or the remote path serves
+        # a cached result and the sample collapses to the round-trip time
+        salt = next(_salt)
+        return (x + jnp.asarray(i * 1e-6 + salt * 1e-5, x.dtype)).block_until_ready()
 
     try:
         jax.device_get(short(perturb(0)))  # compile + warm
@@ -77,7 +84,8 @@ def time_fn(fn: Callable, x, *, iters: int = 20, warmup: int = 2) -> float:
 def _time_loop(fn: Callable, x, *, iters: int) -> float:
     """Loop timing: pipeline `iters` calls on distinct inputs, block once,
     subtract the dispatch/transfer overhead measured with an identity fn."""
-    xs = [(x + jnp.asarray(i * 1e-6, x.dtype)) for i in range(iters)]
+    base = next(_salt) * 1e-5
+    xs = [(x + jnp.asarray(base + i * 1e-6, x.dtype)) for i in range(iters)]
     jax.block_until_ready(xs)
     ident = jax.jit(lambda v: v * 1.0000001)
 
