@@ -38,7 +38,9 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from tpusparse.kernels.common import cdiv, kernel_backend_interpret, pad_dense_rows, round_up
+from tpusparse.kernels.common import (cdiv, kernel_backend_interpret,
+                                      onehot_chunk_contrib, pad_dense_rows,
+                                      round_up)
 from tpusparse.kernels.tile_onehot import _prep_x
 
 PRECISIONS = ("bf16", "fp32x2", "fp32")
@@ -208,62 +210,6 @@ def pack_span(
     )
 
 
-def _span_chunk_contrib(cl, lr, v, xwin, acc, *, rb, ct, mode, kt):
-    """One chunk's contribution, all lane-major (no in-register transposes):
-
-      colhotT [CT, G] = (iota_ct_sub == cl)        cl (1, G)
-      gT [w, G]       = xwin^T . colhotT            contract dim0/dim0
-      cT [kt, G]      = (gT hi+lo) * v              v (1, G) lane-major!
-      acc [RB, kt]   += rowhot . cT^T               contract dim1/dim1
-
-    The nonstandard dot_general dimension orders lower efficiently on the
-    MXU and eliminate the (G, 1) sublane-major loads the naive orientation
-    needs — measured ~2.1x on v5e vs the reshape formulation."""
-    f32 = jnp.float32
-    bf16 = jnp.bfloat16
-    iota_ct_sub = jax.lax.broadcasted_iota(jnp.int32, (ct, 1), 0)
-    iota_rb_sub = jax.lax.broadcasted_iota(jnp.int32, (rb, 1), 0)
-    DEF = jax.lax.Precision.DEFAULT
-    HI = jax.lax.Precision.HIGHEST
-
-    if mode == "fp32":
-        colhotT = (iota_ct_sub == cl).astype(f32)
-        gT = jax.lax.dot_general(
-            xwin.astype(f32), colhotT,
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=f32, precision=HI,
-        )                                             # (kt, G)
-        cT = gT * v.astype(f32)
-        rowhot = (iota_rb_sub == lr).astype(f32)
-        return acc + jax.lax.dot_general(
-            rowhot, cT, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=f32, precision=HI,
-        )
-    colhotT = (iota_ct_sub == cl).astype(bf16)
-    gT = jax.lax.dot_general(
-        xwin, colhotT, dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=f32,
-    )                                                 # (w, G)
-    if mode == "fp32x2":
-        gT = gT[:kt, :] + gT[kt:, :]
-    cT = gT * v.astype(f32)                           # (kt, G)
-    rowhot = (iota_rb_sub == lr).astype(bf16)
-    if mode == "fp32x2":
-        from tpusparse.kernels.tile_onehot import _split_bf16
-
-        chi, clo = _split_bf16(cT)
-        c2 = jnp.concatenate([chi, clo], axis=0)      # (2kt, G)
-        both = jax.lax.dot_general(
-            rowhot, c2, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=f32,
-        )                                             # (RB, 2kt)
-        return acc + (both[:, :kt] + both[:, kt:])
-    return acc + jax.lax.dot_general(
-        rowhot, cT.astype(bf16), dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=f32,
-    )
-
-
 def _span_kernel(c0_ref, cols_ref, lrow_ref, vals_ref, x_ref, y_ref, *,
                  nc, g, rb, ct, mode, unroll):
     kt = y_ref.shape[2]
@@ -275,8 +221,8 @@ def _span_kernel(c0_ref, cols_ref, lrow_ref, vals_ref, x_ref, y_ref, *,
         lr = lrow_ref[0, pl.ds(j, 1), :]          # (1, G)
         v = vals_ref[0, pl.ds(j, 1), :]           # (1, G)
         xwin = x_ref[pl.ds(c0, ct), :]
-        return _span_chunk_contrib(cl, lr, v, xwin, acc, rb=rb, ct=ct,
-                                   mode=mode, kt=kt)
+        return onehot_chunk_contrib(cl, lr, v, xwin, acc, rb=rb, ct=ct,
+                                    mode=mode, kt=kt)
 
     if unroll > 1:
         def body(i, accs):
@@ -337,8 +283,8 @@ def _span_kernel_stream(c0_ref, cols_ref, lrow_ref, vals_ref, x_ref, y_ref, *,
     lr = lrow_ref[0, 0]              # (1, G)
     v = vals_ref[0, 0]               # (1, G)
     xwin = x_ref[pl.ds(c0, ct), :]
-    y_ref[0, :, :] = _span_chunk_contrib(cl, lr, v, xwin, y_ref[0, :, :],
-                                         rb=rb, ct=ct, mode=mode, kt=kt)
+    y_ref[0, :, :] = onehot_chunk_contrib(cl, lr, v, xwin, y_ref[0, :, :],
+                                          rb=rb, ct=ct, mode=mode, kt=kt)
 
 
 @functools.partial(

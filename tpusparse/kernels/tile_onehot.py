@@ -35,24 +35,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from tpusparse.format import TileFormat
-from tpusparse.kernels.common import cdiv, kernel_backend_interpret, pad_dense_rows
+from tpusparse.kernels.common import (_split_bf16, cdiv, kernel_backend_interpret,
+                                      onehot_chunk_contrib, pad_dense_rows)
 
 PRECISIONS = ("bf16", "fp32x2", "fp32")
-
-
-def _split_bf16(x):
-    """Split fp32 into (hi, lo) bf16 with hi + lo ~ x to ~16 mantissa bits.
-
-    hi is produced by masking the low 16 mantissa bits (exactly representable
-    in bf16) rather than by a bf16 round-trip: under
-    --xla_allow_excess_precision (set on some TPU stacks) XLA may elide the
-    ``x - f32(bf16(x))`` residual entirely, silently degrading the result to
-    plain bf16."""
-    x = x.astype(jnp.float32)
-    bits = jax.lax.bitcast_convert_type(x, jnp.uint32)
-    hi = jax.lax.bitcast_convert_type(bits & jnp.uint32(0xFFFF0000), jnp.float32)
-    lo = x - hi
-    return hi.astype(jnp.bfloat16), lo.astype(jnp.bfloat16)
 
 
 def _tile_kernel(
@@ -61,44 +47,16 @@ def _tile_kernel(
 ):
     kt = y_ref.shape[2]
     f32 = jnp.float32
-    iota_ct_lane = jax.lax.broadcasted_iota(jnp.int32, (1, ct), 1)
-    iota_rb_sub = jax.lax.broadcasted_iota(jnp.int32, (rb, 1), 0)
-    DEF = jax.lax.Precision.DEFAULT
-    HI = jax.lax.Precision.HIGHEST
-
-    def dot(a, b, precision):
-        return jax.lax.dot_general(
-            a, b, dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=f32, precision=precision,
-        )
 
     def chunk_contrib(j, acc):
         tile = chunk_tile_ref[0, 0, j]
         c0 = pl.multiple_of(tile * ct, ct)
-        cl = cols_ref[0, pl.ds(j, 1), :].reshape(g, 1)
-        lr = lrow_ref[0, pl.ds(j, 1), :]
-        v = vals_ref[0, pl.ds(j, 1), :].reshape(g, 1).astype(f32)
-        if mode == "fp32":
-            colhot = (cl == iota_ct_lane).astype(f32)
-            gathered = dot(colhot, xhi_ref[pl.ds(c0, ct), :].astype(f32), HI)
-        elif mode == "fp32x2":
-            # hi/lo packed along K: one dot gathers both halves
-            colhot = (cl == iota_ct_lane).astype(jnp.bfloat16)
-            both = dot(colhot, xhi_ref[pl.ds(c0, ct), :], DEF)  # (G, 2*kt)
-            gathered = both[:, :kt] + both[:, kt:]
-        else:
-            colhot = (cl == iota_ct_lane).astype(jnp.bfloat16)
-            gathered = dot(colhot, xhi_ref[pl.ds(c0, ct), :], DEF)
-        contrib = v * gathered
-        if mode == "fp32":
-            rowhot = (lr == iota_rb_sub).astype(f32)
-            return acc + dot(rowhot, contrib, HI)
-        rowhot = (lr == iota_rb_sub).astype(jnp.bfloat16)
-        if mode == "fp32x2":
-            chi, clo = _split_bf16(contrib)
-            both = dot(rowhot, jnp.concatenate([chi, clo], axis=1), DEF)
-            return acc + (both[:, :kt] + both[:, kt:])
-        return acc + dot(rowhot, contrib.astype(jnp.bfloat16), DEF)
+        cl = cols_ref[0, pl.ds(j, 1), :]          # (1, G)
+        lr = lrow_ref[0, pl.ds(j, 1), :]          # (1, G)
+        v = vals_ref[0, pl.ds(j, 1), :]           # (1, G)
+        xwin = xhi_ref[pl.ds(c0, ct), :]
+        return onehot_chunk_contrib(cl, lr, v, xwin, acc, rb=rb, ct=ct,
+                                    mode=mode, kt=kt)
 
     if unroll > 1:
         def body(i, accs):
@@ -167,44 +125,13 @@ def _tile_kernel_stream(ct_ref, cols_ref, lrow_ref, vals_ref, xwin_ref, y_ref, *
         y_ref[...] = jnp.zeros_like(y_ref)
 
     kt = y_ref.shape[2]
-    f32 = jnp.float32
-    iota_rb_sub = jax.lax.broadcasted_iota(jnp.int32, (rb, 1), 0)
-    DEF = jax.lax.Precision.DEFAULT
-    HI = jax.lax.Precision.HIGHEST
-
-    def dot(a, b, precision):
-        return jax.lax.dot_general(
-            a, b, dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=f32, precision=precision,
-        )
-
     ct = xwin_ref.shape[0]
-    iota_ct_lane = jax.lax.broadcasted_iota(jnp.int32, (1, ct), 1)
-    cl = cols_ref[0, 0, 0, :].reshape(g, 1)
-    lr = lrow_ref[0, 0, 0, :]
-    v = vals_ref[0, 0, 0, :].reshape(g, 1).astype(f32)
-    if mode == "fp32":
-        colhot = (cl == iota_ct_lane).astype(f32)
-        gathered = dot(colhot, xwin_ref[...].astype(f32), HI)
-    elif mode == "fp32x2":
-        colhot = (cl == iota_ct_lane).astype(jnp.bfloat16)
-        both = dot(colhot, xwin_ref[...], DEF)
-        gathered = both[:, :kt] + both[:, kt:]
-    else:
-        colhot = (cl == iota_ct_lane).astype(jnp.bfloat16)
-        gathered = dot(colhot, xwin_ref[...], DEF)
-    contrib = v * gathered
-    if mode == "fp32":
-        rowhot = (lr == iota_rb_sub).astype(f32)
-        y_ref[0, :, :] += dot(rowhot, contrib, HI)
-    else:
-        rowhot = (lr == iota_rb_sub).astype(jnp.bfloat16)
-        if mode == "fp32x2":
-            chi, clo = _split_bf16(contrib)
-            both = dot(rowhot, jnp.concatenate([chi, clo], axis=1), DEF)
-            y_ref[0, :, :] += both[:, :kt] + both[:, kt:]
-        else:
-            y_ref[0, :, :] += dot(rowhot, contrib.astype(jnp.bfloat16), DEF)
+    cl = cols_ref[0, 0, 0, :][None, :]   # (1, G)
+    lr = lrow_ref[0, 0, 0, :][None, :]
+    v = vals_ref[0, 0, 0, :][None, :]
+    y_ref[0, :, :] = onehot_chunk_contrib(cl, lr, v, xwin_ref[...],
+                                          y_ref[0, :, :], rb=rb, ct=ct,
+                                          mode=mode, kt=kt)
 
 
 @functools.partial(
