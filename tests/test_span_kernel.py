@@ -98,3 +98,42 @@ def test_tuner_colsplit_candidate():
     mat = builder.power_law_coo(1024, 300000, avg_nnz_per_row=3.0, seed=1)
     fams = {c.family for c in default_candidates(mat, k=128)}
     assert "span_colsplit" in fams and "span_onehot" not in fams
+
+
+def test_segment_span_family():
+    import numpy as np
+    import pytest
+    from tpusparse import native
+    from tpusparse.io import builder
+    from tpusparse.schedule import Schedule, build_plan
+
+    if not native.available():
+        pytest.skip("native library required")
+    # extreme skew: one monster row that must split across nnz blocks
+    mat = builder.power_law_coo(200, 300, avg_nnz_per_row=8.0, alpha=1.2, seed=21)
+    x = np.random.default_rng(4).standard_normal((300, 8)).astype(np.float32)
+    plan = build_plan(mat, Schedule(family="segment_span", work_per_block=128,
+                                    ct=64, g=32))
+    y = np.asarray(plan(x))
+    check_result(y, spmm_reference(mat, x.astype(np.float64)), rtol=2e-3)
+
+
+def test_segment_span_monster_row():
+    import numpy as np
+    import pytest
+    from tpusparse import native
+    from tpusparse.io.mtx import CooMatrix
+    from tpusparse.kernels.nnz_split import pack_segment_span, segment_span_spmm
+
+    if not native.available():
+        pytest.skip("native library required")
+    # one row with 500 nz among 50 rows
+    rng = np.random.default_rng(5)
+    rows = np.concatenate([np.full(500, 7), rng.integers(0, 50, 100)])
+    cols = rng.integers(0, 400, rows.size)
+    vals = rng.standard_normal(rows.size)
+    mat = CooMatrix(rows, cols, vals, (50, 400)).sort_row_major().dedup()
+    x = rng.standard_normal((400, 8)).astype(np.float32)
+    fmt = pack_segment_span(mat, block_nnz=64, ct=128, g=32)
+    y = np.asarray(segment_span_spmm(fmt, x, precision="fp32"))
+    check_result(y, spmm_reference(mat, x.astype(np.float64)), rtol=1e-4)

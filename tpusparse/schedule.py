@@ -43,8 +43,8 @@ from tpusparse.ops import (
     UniformBlockPadOperator,
 )
 
-KERNEL_FAMILIES = ("stripe_total", "nnz_segment", "tile_onehot", "span_onehot",
-                   "span_colsplit", "bucketed", "dense", "block_ell")
+KERNEL_FAMILIES = ("stripe_total", "nnz_segment", "segment_span", "tile_onehot",
+                   "span_onehot", "span_colsplit", "bucketed", "dense", "block_ell")
 BLOCKINGS = ("merge_path", "balanced", "fixed_rows")
 
 
@@ -247,6 +247,23 @@ def build_plan(mat: CooMatrix, sched: Schedule, *, interpret: bool | None = None
         return _build_block_ell_plan(mat, sched, interpret)
     if sched.family == "span_colsplit":
         return _build_span_colsplit_plan(mat, sched, interpret)
+    if sched.family == "segment_span":
+        from tpusparse.kernels.nnz_split import pack_segment_span, segment_span_spmm
+
+        fmt = pack_segment_span(mat, block_nnz=sched.work_per_block,
+                                ct=sched.ct, g=sched.g)
+
+        def seg_fn(x, fmt=fmt):
+            return segment_span_spmm(fmt, x, ktile=sched.ktile,
+                                     precision=sched.precision,
+                                     unroll=sched.unroll, interpret=interpret)
+
+        return SpmmPlan(
+            fn=seg_fn, formats=[fmt], shape=mat.shape,
+            meta={"schedule": sched.describe(), "n_subs": 1,
+                  "padding_rate": fmt.padding_rate,
+                  "operator_history": "segment_span"},
+        )
     ms = create_init_metadata_set(mat)
     ex = OperatorExecutor(ms)
     out_rows = mat.shape[0]
