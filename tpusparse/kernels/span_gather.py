@@ -10,20 +10,30 @@ G consecutive nz span only ~N*G/nnz_p columns, so a much narrower window
 (CT ~ 512) suffices and only the final chunk per program is padded:
 
   padding    ~1.0  (vs ~1.9 for fixed tiles)
-  MXU cost   colhot [G, CT] + rowhot [RB, G] ~ (CT+RB)*G/128^3 tile-ops
-             per chunk — minimized at G=128, CT~RB~512: ~1.3 cyc/nz vs
-             ~4.8 for the 1024-tile configuration.
+  MXU cost   colhotT [CT, G] + rowhot [RB, G] dots ~ (CT+RB)*G/128^3
+             tile-ops per chunk; both one-hots are built transposed and
+             contracted with nonstandard dot_general dimension orders so
+             every operand stays lane-major (onehot_chunk_contrib in
+             kernels/common.py) — the naive orientation needs (G, 1)
+             sublane loads whose relayouts cost as much as the math.
 
 Scatter needs no ordering (rowhot handles arbitrary rows within the
 program), so the column sort costs nothing on the output side; the
-program's rows land in their stripe slots as usual.
+program's rows land in their stripe slots as usual.  Rows are dealt to
+programs round-robin by descending length, so chunk counts balance and the
+uniform NC pads only the tail.
 
 X must be VMEM-resident ((N, xwidth) block) because window starts are
-dynamic — this is the small-K regime (K <= ~64) where that block is ~1-4 MB.
-Same precision modes as tile_onehot.  Reference counterpart: the
-column-direction blocking family (fixed_interval_col_direction_*_operator)
-fused with nnz-direction chunking — a combination the reference cannot
-express but the schedule vocabulary makes natural on TPU.
+dynamic — the small/medium-K regime (~1-6 MB); larger N routes to the
+span_colsplit schedule family (sum of column-range sub-plans) and larger K
+to the streaming tile kernel.  Same precision modes as tile_onehot.
+Measured on v5e (32k^2 power-law, 1M nnz): 9.2 GF/s at K=8 rising to
+~46 GF/s at K=128 on one pack — see PERF.md.
+
+Reference counterpart: the column-direction blocking family
+(fixed_interval_col_direction_*_operator) fused with nnz-direction chunking
+— a combination the reference cannot express but the schedule vocabulary
+makes natural on TPU.
 """
 
 from __future__ import annotations
