@@ -343,9 +343,9 @@ def span_spmm(
 ) -> jnp.ndarray:
     """Y[M, K] = A . X[N, K] with A in SpanFormat.
 
-    ``stream=True`` uses the grid-axis chunk variant (per-chunk DMA, no
-    in-register transposes); the default fori-loop variant benches slightly
-    faster on v5e."""
+    ``stream=True`` uses the grid-axis chunk variant (per-chunk index DMA);
+    the default fori-loop variant keeps the whole chunk list VMEM-resident
+    and benches slightly faster on v5e."""
     assert precision in PRECISIONS, precision
     if interpret is None:
         interpret = kernel_backend_interpret()
