@@ -12,7 +12,7 @@ from tpusparse.spgemm import spgemm
 from tpusparse.spmv import spmv
 
 
-@pytest.mark.parametrize("method", ["segment", "stripe"])
+@pytest.mark.parametrize("method", ["segment", "stripe", "span"])
 def test_spmv(method, small_coo):
     x = np.random.default_rng(0).standard_normal(small_coo.shape[1]).astype(np.float32)
     y = np.asarray(spmv(small_coo, x, method=method))

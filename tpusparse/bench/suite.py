@@ -108,14 +108,15 @@ def run_suite(quick: bool = False, out_path: str = "BENCH_SUITE.jsonl"):
 
     mv = workloads["powerlaw"]
     xv = np.random.default_rng(4).standard_normal(mv.shape[1]).astype(np.float32)
-    vfn = spmv_fn(mv)
-    np.asarray(vfn(jnp.asarray(xv)))
-    sec = time_fn(vfn, jnp.asarray(xv), iters=10)
-    emit({
-        "bench": "spmv_powerlaw", "k": 1, "nnz": mv.nnz,
-        "gflops": round(gflops(mv.nnz, 1, sec), 3),
-        "gnnz_per_s": round(mv.nnz / sec / 1e9, 3),
-    })
+    for method in ("segment", "span"):
+        vfn = spmv_fn(mv, method=method)
+        np.asarray(vfn(jnp.asarray(xv)))
+        sec = time_fn(vfn, jnp.asarray(xv), iters=10)
+        emit({
+            "bench": f"spmv_powerlaw/{method}", "k": 1, "nnz": mv.nnz,
+            "gflops": round(gflops(mv.nnz, 1, sec), 3),
+            "gnnz_per_s": round(mv.nnz / sec / 1e9, 3),
+        })
 
     with open(out_path, "a") as f:
         for r in rows:

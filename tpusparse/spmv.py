@@ -56,6 +56,22 @@ def spmv_fn(mat: CooMatrix, method: str = "auto"):
             return plan(xw)[:, 0]
 
         return fn
+    if method == "span":
+        # the MXU one-hot path with x widened to the 8-lane minimum; ~10x
+        # the segment path when the format is reused across calls
+        from tpusparse.schedule import Schedule, build_plan
+        from tpusparse.tune import _span_configs
+
+        rb, ct, g = _span_configs(mat.density)[0]
+        plan = build_plan(mat, Schedule(family="span_onehot", rb=rb, ct=ct,
+                                        g=g, unroll=4))
+
+        def fn(x):
+            assert x.shape == (n,), f"x shape {x.shape} != ({n},)"
+            xw = jnp.broadcast_to(jnp.asarray(x, jnp.float32)[:, None], (n, 8))
+            return plan(xw)[:, 0]
+
+        return fn
     raise ValueError(f"unknown spmv method {method!r}")
 
 
