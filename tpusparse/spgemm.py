@@ -39,6 +39,9 @@ def spgemm(
 
         plan = build_tile_plan(a, precision="fp32")
 
+    import jax
+    import jax.numpy as jnp
+
     # column-sliceable view of B
     order = np.argsort(b.cols, kind="stable")
     b_rows = b.rows[order]
@@ -46,13 +49,32 @@ def spgemm(
     b_vals = b.vals[order].astype(np.float32)
     tile_starts = np.searchsorted(b_cols, np.arange(0, p + tile_cols, tile_cols))
 
+    # stage B's COO on device once and densify each tile there: shipping a
+    # dense (N, tile) operand per tile would dominate, the COO goes once
+    n_tiles = -(-p // tile_cols)
+    max_tile = max(int(np.diff(tile_starts).max(initial=1)), 1)
+    t_rows = np.zeros((n_tiles, max_tile), dtype=np.int32)
+    t_cols = np.full((n_tiles, max_tile), tile_cols, dtype=np.int32)  # OOB pad
+    t_vals = np.zeros((n_tiles, max_tile), dtype=np.float32)
+    for ti in range(n_tiles):
+        lo, hi = tile_starts[ti], tile_starts[ti + 1]
+        t_rows[ti, : hi - lo] = b_rows[lo:hi]
+        t_cols[ti, : hi - lo] = b_cols[lo:hi] - ti * tile_cols
+        t_vals[ti, : hi - lo] = b_vals[lo:hi]
+    t_rows_d = jnp.asarray(t_rows)
+    t_cols_d = jnp.asarray(t_cols)
+    t_vals_d = jnp.asarray(t_vals)
+
+    @jax.jit
+    def densify_tile(rows, cols, vals):
+        z = jnp.zeros((n, tile_cols), jnp.float32)
+        return z.at[rows, cols].add(vals, mode="drop")
+
     out_rows, out_cols, out_vals = [], [], []
     for t0 in range(0, p, tile_cols):
         ti = t0 // tile_cols
-        lo, hi = tile_starts[ti], tile_starts[ti + 1]
         width = min(tile_cols, p - t0)
-        xt = np.zeros((n, width), dtype=np.float32)
-        xt[b_rows[lo:hi], b_cols[lo:hi] - t0] = b_vals[lo:hi]
+        xt = densify_tile(t_rows_d[ti], t_cols_d[ti], t_vals_d[ti])[:, :width]
         yt = np.asarray(plan(xt))
         keep = np.abs(yt) > threshold if threshold > 0 else yt != 0
         r, c = np.nonzero(keep)
