@@ -32,6 +32,32 @@ class SpmmPlan:
     def __call__(self, x):
         return self.fn(x)
 
+    def cost_summary(self, k: int | None = None) -> dict:
+        """Static cost introspection: format bytes, padding, and the
+        per-call useful-FLOP count (the reference prints the same quantities
+        around its timing loop, code_generator.cc:589-648)."""
+        fmt_bytes = 0
+        nnz_padded = 0
+        nnz_real = 0
+        for f in self.formats:
+            mb = getattr(f, "memory_bytes", 0)
+            fmt_bytes += mb() if callable(mb) else mb
+            nnz_real += getattr(f, "nnz_real", getattr(f, "nnz", 0))
+            pr = getattr(f, "padding_rate", 1.0)
+            nnz_padded += int(getattr(f, "nnz_real", 0) * pr) if hasattr(f, "nnz_real") else 0
+        out = {
+            "schedule": self.meta.get("schedule"),
+            "format_bytes": int(fmt_bytes),
+            "padding_rate": self.meta.get("padding_rate"),
+            "n_sub_plans": self.meta.get("n_subs", 1),
+            "shape": list(self.shape),
+        }
+        if nnz_real:
+            out["nnz"] = int(nnz_real)
+        if k is not None and nnz_real:
+            out["useful_gflop_per_call"] = 2.0 * nnz_real * k / 1e9
+        return out
+
 
 def prepare_stripe_format(
     mat: CooMatrix,
