@@ -29,7 +29,13 @@ from tpusparse.io.mtx import CooMatrix
 
 
 class SparseLinear:
-    """y[..., out] = x[..., in] @ W^T + b with sparse W."""
+    """y[..., out] = x[..., in] @ W^T + b with sparse W.
+
+    Layers are inference-only unless constructed with
+    ``from_coo(..., differentiable=True)`` (which wires a packed A^T plan as
+    the custom VJP) — Pallas kernels cannot be differentiated through
+    directly, and jax.grad over a non-differentiable layer fails with an
+    opaque Pallas tracing error."""
 
     def __init__(self, apply_fn, out_features: int, in_features: int,
                  bias: Any | None = None, meta: dict | None = None):
