@@ -94,3 +94,20 @@ def test_halo_span_skewed():
     fn, put_inputs = build_halo_span_spmm(fmt, mesh)
     y = np.asarray(fn(*put_inputs(x)))[:, :8]
     check_result(y, spmm_reference(mat, x.astype(np.float64)), rtol=1e-3)
+
+
+def test_halo_span_2d_mesh():
+    from tpusparse import native
+    if not native.available():
+        pytest.skip("native library required")
+    from tpusparse.dist.overlap import build_halo_span_spmm, pack_halo_span
+
+    mat, _ = _mat_x(m=280, n=300, seed=7)
+    k = 32  # divisible by the k-axis
+    x = np.random.default_rng(9).standard_normal((300, k)).astype(np.float32)
+    fmt = pack_halo_span(mat, 4, rows_per_program=64, ct=64, g=32)
+    dev = np.array(jax.devices()[:8]).reshape(4, 2)
+    mesh = Mesh(dev, ("rows", "k"))
+    fn, put_inputs = build_halo_span_spmm(fmt, mesh, ktile=16)
+    y = np.asarray(fn(*put_inputs(x)))[:, :k]
+    check_result(y, spmm_reference(mat, x.astype(np.float64)), rtol=1e-3)

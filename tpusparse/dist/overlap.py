@@ -368,13 +368,17 @@ def build_halo_span_spmm(
     interpret: bool | None = None,
 ):
     """Span-kernel variant of build_halo_spmm: same ppermute ring, ~5x the
-    per-chip throughput at small K."""
+    per-chip throughput at small K.  A 2D ('rows', 'k') mesh additionally
+    shards the dense operand's columns (tensor-parallel K: each K shard is
+    independent on the contraction, so the ring runs per K column group)."""
     from tpusparse.kernels.span_gather import _span_call
 
     if interpret is None:
         interpret = kernel_backend_interpret()
     d = fmt.n_devices
     assert mesh.shape["rows"] == d, (mesh.shape, d)
+    k_sharded = "k" in mesh.shape and mesh.shape["k"] > 1
+    kspec = "k" if k_sharded else None
     p_loc = fmt.programs_per_device
     rb = fmt.rb
     nc = fmt.n_chunks_span
@@ -385,8 +389,8 @@ def build_halo_span_spmm(
     @functools.partial(
         jax.shard_map,
         mesh=mesh,
-        in_specs=(P("rows"), P("rows"), P("rows"), P("rows"), P("rows", None)),
-        out_specs=P("rows", None),
+        in_specs=(P("rows"), P("rows"), P("rows"), P("rows"), P("rows", kspec)),
+        out_specs=P("rows", kspec),
         check_vma=False,
     )
     def ring_kernel(c0, cols, lrow, vals, x_chunk):
@@ -442,7 +446,7 @@ def build_halo_span_spmm(
             jax.device_put(fmt.lrow, row5),
             jax.device_put(fmt.vals, row5),
             jax.device_put(fmt.slot_of_origrow, NamedSharding(mesh, P())),
-            jax.device_put(xflat, NamedSharding(mesh, P("rows", None))),
+            jax.device_put(xflat, NamedSharding(mesh, P("rows", kspec))),
         )
 
     return fn, put_inputs

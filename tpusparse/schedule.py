@@ -283,7 +283,9 @@ def build_plan(mat: CooMatrix, sched: Schedule, *, interpret: bool | None = None
                 sub_scheds[s] = bss[i]
             else:
                 sub_scheds[s] = dataclasses.replace(
-                    sched, family="tile_onehot" if sched.family == "bucketed" else sched.family,
+                    sched, family="span_onehot" if sched.family == "bucketed" else sched.family,
+                    rb=512 if sched.family == "bucketed" else sched.rb,
+                    ct=1024 if sched.family == "bucketed" else sched.ct,
                     bucket_bounds=(), bucket_schedules=(),
                 )
 
