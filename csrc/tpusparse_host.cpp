@@ -269,11 +269,13 @@ int64_t ts_span_count(const int64_t* cols, const int64_t* p_starts,
 
 // Phase 2: fill padded [p_count, nc, g] arrays (callers pass zeroed buffers
 // of that size) plus c0 [p_count, nc].  Same chunking walk as ts_span_count.
+// out_dest (optional, may be null): flat packed position of each input nz,
+// enabling values-only format updates.
 void ts_span_fill(const int64_t* cols, const int64_t* lrow, const float* vals,
                   const int64_t* p_starts, int64_t p_count, int64_t g,
                   int64_t span_budget, int64_t nc,
                   int32_t* out_c0, int32_t* out_cols, int32_t* out_lrow,
-                  float* out_vals) {
+                  float* out_vals, int64_t* out_dest) {
   for (int64_t p = 0; p < p_count; ++p) {
     int64_t i = p_starts[p], hi = p_starts[p + 1], ci = 0;
     while (i < hi && ci < nc) {
@@ -287,6 +289,7 @@ void ts_span_fill(const int64_t* cols, const int64_t* lrow, const float* vals,
         out_cols[base + (t - i)] = (int32_t)(cols[t] - c0);
         out_lrow[base + (t - i)] = (int32_t)lrow[t];
         out_vals[base + (t - i)] = vals[t];
+        if (out_dest) out_dest[t] = base + (t - i);
       }
       ++ci;
       i = j;

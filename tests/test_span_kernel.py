@@ -137,3 +137,39 @@ def test_segment_span_monster_row():
     fmt = pack_segment_span(mat, block_nnz=64, ct=128, g=32)
     y = np.asarray(segment_span_spmm(fmt, x, precision="fp32"))
     check_result(y, spmm_reference(mat, x.astype(np.float64)), rtol=1e-4)
+
+
+def test_with_values_update():
+    import numpy as np
+    from tpusparse.kernels.span_gather import pack_span, span_spmm, with_values
+
+    mat, x = _case(seed=23)
+    fmt = pack_span(mat, rb=64, ct=128, g=32, keep_perm=True)
+    y1 = np.asarray(span_spmm(fmt, x, precision="fp32"))
+    check_result(y1, spmm_reference(mat, x.astype(np.float64)), rtol=1e-5)
+    # same pattern, new values
+    new_vals = np.asarray(mat.vals) * 3.0 + 1.0
+    fmt2 = with_values(fmt, new_vals)
+    from tpusparse.io.mtx import CooMatrix
+    mat2 = CooMatrix(mat.rows, mat.cols, new_vals, mat.shape)
+    y2 = np.asarray(span_spmm(fmt2, x, precision="fp32"))
+    check_result(y2, spmm_reference(mat2, x.astype(np.float64)), rtol=1e-5)
+
+
+def test_with_values_python_fallback():
+    import numpy as np
+    import tpusparse.native as nat
+    from tpusparse.kernels.span_gather import pack_span, span_spmm, with_values
+
+    mat, x = _case(seed=29)
+    orig = nat.span_pack
+    nat.span_pack = lambda *a, **k: None
+    try:
+        fmt = pack_span(mat, rb=64, ct=128, g=32, keep_perm=True)
+    finally:
+        nat.span_pack = orig
+    fmt2 = with_values(fmt, np.asarray(mat.vals) * -2.0)
+    from tpusparse.io.mtx import CooMatrix
+    mat2 = CooMatrix(mat.rows, mat.cols, np.asarray(mat.vals) * -2.0, mat.shape)
+    y = np.asarray(span_spmm(fmt2, x, precision="fp32"))
+    check_result(y, spmm_reference(mat2, x.astype(np.float64)), rtol=1e-5)

@@ -83,6 +83,9 @@ class SpanFormat:
     ct: int
     shape: tuple[int, int]
     nnz_real: int
+    # optional: flat packed position per input nz (pack_span(keep_perm=True));
+    # enables values-only updates via with_values
+    perm_of_nz: Any = None
 
     @property
     def padding_rate(self) -> float:
@@ -104,6 +107,7 @@ def pack_span(
     g: int = 128,
     balance: bool = True,
     val_dtype=None,
+    keep_perm: bool = False,
 ) -> SpanFormat:
     """Pack a CooMatrix (or a MetaDataSet sub-matrix) into SpanFormat.
 
@@ -163,10 +167,15 @@ def pack_span(
     from tpusparse import native
 
     packed = None
+    dest_sorted = None
     if native.available():
-        packed = native.span_pack(cols_s, lrow_s, vals_s, starts, g, span_budget)
+        packed = native.span_pack(cols_s, lrow_s, vals_s, starts, g,
+                                  span_budget, want_dest=keep_perm)
     if packed is not None:
-        c0_2d, cols_f, lrow_f, vals_f = packed
+        if keep_perm:
+            c0_2d, cols_f, lrow_f, vals_f, dest_sorted = packed
+        else:
+            c0_2d, cols_f, lrow_f, vals_f = packed
         nc = c0_2d.shape[1]
         c0_arr = c0_2d[:, None, :]
     else:
@@ -189,6 +198,8 @@ def pack_span(
         cols_f = np.zeros((p_count, nc, g), dtype=np.int32)
         lrow_f = np.zeros((p_count, nc, g), dtype=np.int32)
         vals_f = np.zeros((p_count, nc, g), dtype=np.float32)
+        if keep_perm:
+            dest_sorted = np.zeros(cols_s.size, dtype=np.int64)
         for p in range(p_count):
             for ci, (c0, i, j) in enumerate(chunks[p]):
                 n = j - i
@@ -196,6 +207,8 @@ def pack_span(
                 cols_f[p, ci, :n] = cols_s[i:j] - c0
                 lrow_f[p, ci, :n] = lrow_s[i:j]
                 vals_f[p, ci, :n] = vals_s[i:j]
+                if keep_perm:
+                    dest_sorted[i:j] = (p * nc + ci) * g + np.arange(n)
 
     slot_of_origrow = np.full(out_rows, -1, dtype=np.int32)
     keep = rec >= 0
@@ -217,6 +230,25 @@ def pack_span(
         ct=ct,
         shape=(out_rows, col_num),
         nnz_real=int(np.count_nonzero(vals_f)),
+        perm_of_nz=(None if dest_sorted is None
+                    else np.asarray(dest_sorted)[np.argsort(order, kind="stable")]),
+    )
+
+
+def with_values(fmt: SpanFormat, new_vals) -> SpanFormat:
+    """Values-only format update: same sparsity pattern, new values in the
+    original nz order given to pack_span (requires keep_perm=True).  The
+    index arrays and the compiled kernel are reused untouched (scipy's
+    ``.data = ...`` idiom; the reference would re-run its whole pipeline)."""
+    assert fmt.perm_of_nz is not None, "pack_span(..., keep_perm=True) required"
+    new_vals = np.asarray(new_vals, dtype=np.float32)
+    flat = np.zeros(fmt.n_programs * fmt.n_chunks * fmt.chunk_g, dtype=np.float32)
+    flat[np.asarray(fmt.perm_of_nz)] = new_vals
+    vals = flat.reshape(fmt.n_programs, fmt.n_chunks, fmt.chunk_g)
+    return dataclasses.replace(
+        fmt,
+        vals=jnp.asarray(vals, dtype=np.asarray(fmt.vals).dtype),
+        nnz_real=int(np.count_nonzero(vals)),
     )
 
 

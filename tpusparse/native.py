@@ -174,10 +174,11 @@ def bucket_counts(key: np.ndarray, n_buckets: int):
 
 
 def span_pack(cols_sorted, lrow_sorted, vals_sorted, p_starts, g: int,
-              span_budget: int):
+              span_budget: int, want_dest: bool = False):
     """Native span-format chunking+fill.  Returns (c0 [P, NC] int32,
-    cols/lrow [P, NC, G] int32, vals [P, NC, G] f32) or None if the native
-    library is unavailable."""
+    cols/lrow [P, NC, G] int32, vals [P, NC, G] f32[, dest [nnz] int64]) or
+    None if the native library is unavailable.  ``dest`` is each input nz's
+    flat packed position (for values-only updates)."""
     lib = _load()
     if lib is None:
         return None
@@ -191,7 +192,8 @@ def span_pack(cols_sorted, lrow_sorted, vals_sorted, p_starts, g: int,
         lib.ts_span_fill.restype = None
         lib.ts_span_fill.argtypes = [i64p, i64p, f32p, i64p, ctypes.c_int64,
                                      ctypes.c_int64, ctypes.c_int64,
-                                     ctypes.c_int64, i32p, i32p, i32p, f32p]
+                                     ctypes.c_int64, i32p, i32p, i32p, f32p,
+                                     i64p]
         lib._span_bound = True
     cols_sorted = np.ascontiguousarray(cols_sorted, dtype=np.int64)
     lrow_sorted = np.ascontiguousarray(lrow_sorted, dtype=np.int64)
@@ -207,11 +209,15 @@ def span_pack(cols_sorted, lrow_sorted, vals_sorted, p_starts, g: int,
     out_cols = np.zeros((p_count, nc, g), dtype=np.int32)
     out_lrow = np.zeros((p_count, nc, g), dtype=np.int32)
     out_vals = np.zeros((p_count, nc, g), dtype=np.float32)
+    dest = np.zeros(cols_sorted.size, dtype=np.int64) if want_dest else None
     lib.ts_span_fill(
         cols_sorted.ctypes.data_as(i64p), lrow_sorted.ctypes.data_as(i64p),
         vals_sorted.ctypes.data_as(f32p), p_starts.ctypes.data_as(i64p),
         p_count, g, span_budget, nc,
         c0.ctypes.data_as(i32p), out_cols.ctypes.data_as(i32p),
         out_lrow.ctypes.data_as(i32p), out_vals.ctypes.data_as(f32p),
+        dest.ctypes.data_as(i64p) if want_dest else None,
     )
+    if want_dest:
+        return c0, out_cols, out_lrow, out_vals, dest
     return c0, out_cols, out_lrow, out_vals
