@@ -27,11 +27,13 @@ def _chain(fn: Callable, iters: int):
     def loop(x):
         def body(carry, _):
             y = fn(carry)
-            # data dependency the compiler cannot fold away: y00 * 1e-30
-            # is not provably zero (min(|y00|, 0) was — XLA hoisted the body)
-            eps = y[(0,) * y.ndim].astype(jnp.float32) * jnp.float32(1e-30)
+            # consume the WHOLE output: a single-element dependency lets XLA
+            # slice through sliceable ops (a dense matmul collapses to one
+            # row); the mean forces full materialization, and * 1e-30 keeps
+            # the carry drift negligible without being provably zero
+            eps = jnp.mean(y.astype(jnp.float32)) * jnp.float32(1e-30)
             nxt = carry + eps.astype(carry.dtype)
-            return nxt, y[(0,) * y.ndim]
+            return nxt, eps
         final, lasts = jax.lax.scan(body, x, None, length=iters)
         return final[(0,) * final.ndim], lasts[-1]
 
