@@ -68,3 +68,11 @@ def test_shape_mismatch_raises():
     layer = SparseLinear.from_coo(mat)
     with pytest.raises(AssertionError):
         layer(np.zeros((3, 7), np.float32))
+
+
+def test_from_nm_throughput_mode():
+    w = builder.nm_pruned_dense(64, 128, seed=13)
+    layer = SparseLinear.from_nm(w, precision="fp32", mode="throughput")
+    x = np.random.default_rng(14).standard_normal((5, 128)).astype(np.float32)
+    np.testing.assert_allclose(np.asarray(layer(x)), _dense_ref(w, x),
+                               rtol=1e-4, atol=1e-4)

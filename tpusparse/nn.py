@@ -71,10 +71,39 @@ class SparseLinear:
 
     @classmethod
     def from_nm(cls, w: np.ndarray, *, n_keep: int = 2, group: int = 4,
-                precision: str = "bf16", bias=None, interpret=None) -> "SparseLinear":
+                precision: str = "bf16", bias=None, interpret=None,
+                mode: str = "compact") -> "SparseLinear":
+        """N:M structured weight.  ``mode``:
+
+        'compact'     the packed MXU kernel — 0.56x dense HBM *capacity*
+                      (bf16 vals + int8 offsets), slower per call than dense
+        'throughput'  reconstruct dense bf16 on device — full dense-matmul
+                      speed at full dense capacity.  On TPU (no sparse MXU)
+                      2:4 cannot beat the dense product on throughput: the
+                      4-offset decomposition is algebraically a permuted
+                      dense matmul (see PERF.md).
+        """
+        import jax
+
+        w = np.asarray(w)
+        if mode == "throughput":
+            dt = jnp.float32 if precision == "fp32" else jnp.bfloat16
+            a = jnp.asarray(w, dt)
+            prec = (jax.lax.Precision.HIGHEST if dt == jnp.float32
+                    else jax.lax.Precision.DEFAULT)
+
+            @jax.jit
+            def _mm(a, x):
+                return jnp.dot(a, x.astype(dt), preferred_element_type=jnp.float32,
+                               precision=prec)
+
+            m, n = w.shape
+            return cls(lambda x: _mm(a, x), m, n, bias=bias,
+                       meta={"kind": f"nm_{n_keep}_{group}:throughput"})
+
         from tpusparse.kernels.nm_structured import nm_spmm, pack_nm
 
-        fmt = pack_nm(np.asarray(w), n_keep=n_keep, group=group,
+        fmt = pack_nm(w, n_keep=n_keep, group=group,
                       dtype=jnp.float32 if precision == "fp32" else jnp.bfloat16)
 
         def fn(x):
