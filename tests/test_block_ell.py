@@ -62,3 +62,12 @@ def test_block_ell_empty_rowblocks():
     y = np.asarray(block_ell_spmm(fmt, x, precision="fp32"))
     want = mat.to_dense(np.float64) @ x.astype(np.float64)
     np.testing.assert_allclose(y, want, rtol=1e-4, atol=1e-3)
+
+
+@pytest.mark.parametrize("method", ["xla", "pallas"])
+def test_block_ell_methods_agree(method):
+    mat, x = _case(m=384, n=512, k=24, seed=9)
+    fmt = pack_block_ell(mat, bs=128)
+    y = np.asarray(block_ell_spmm(fmt, x, precision="fp32", method=method))
+    want = mat.to_dense(np.float64) @ x.astype(np.float64)
+    np.testing.assert_allclose(y, want, rtol=1e-4, atol=1e-3)

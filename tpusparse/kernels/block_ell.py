@@ -157,6 +157,23 @@ def _bell_call(blkcol, blkvals, x, *, bs, ktile, mode, interpret):
     )(blkcol, blkvals, x)
 
 
+@functools.partial(jax.jit, static_argnames=("bs", "mode"))
+def _bell_xla(blkcol, blkvals, x, *, bs, mode):
+    """XLA batched-matmul formulation: gather the needed X tiles and run one
+    einsum over [MB, BMAX] blocks.  XLA's batched-matmul pipeline runs these
+    (BS, BS) x (BS, K) products ~3x faster than per-block Pallas dots on
+    v5e, which is what lets block sparsity actually beat the dense matmul
+    (measured 33 us vs 43 us dense at 4096^2, 15% blocks, K=256)."""
+    dt = jnp.float32 if mode == "fp32" else jnp.bfloat16
+    prec = (jax.lax.Precision.HIGHEST if mode == "fp32"
+            else jax.lax.Precision.DEFAULT)
+    xb = x.reshape(-1, bs, x.shape[1]).astype(dt)        # [NB, BS, K]
+    gx = jnp.take(xb, blkcol, axis=0)                    # [MB, BMAX, BS, K]
+    y = jnp.einsum("ijab,ijbk->iak", blkvals.astype(dt), gx,
+                   preferred_element_type=jnp.float32, precision=prec)
+    return y.reshape(-1, x.shape[1])
+
+
 def block_ell_spmm(
     fmt: BlockEllFormat,
     x: jnp.ndarray,
@@ -164,19 +181,28 @@ def block_ell_spmm(
     ktile: int | None = None,
     precision: str = "bf16",
     interpret: bool | None = None,
+    method: str = "xla",
 ) -> jnp.ndarray:
-    """Y[M, K] = A . X[N, K] with A in BlockEllFormat."""
+    """Y[M, K] = A . X[N, K] with A in BlockEllFormat.
+
+    ``method='xla'`` (default) uses the batched-einsum formulation;
+    ``'pallas'`` keeps the scalar-prefetch streaming kernel (useful when the
+    gathered [MB, BMAX, BS, K] intermediate would not fit)."""
     assert precision in PRECISIONS, precision
     if interpret is None:
         interpret = kernel_backend_interpret()
     m, n = fmt.shape
     k = x.shape[1]
     assert x.shape[0] == n, f"X rows {x.shape[0]} != A cols {n}"
+    nb_cols = cdiv(max(n, 1), fmt.bs)
+    if method == "xla":
+        x = pad_dense_rows(x.astype(jnp.float32), nb_cols * fmt.bs)
+        y = _bell_xla(fmt.blkcol, fmt.blkvals, x, bs=fmt.bs, mode=precision)
+        return y[:m, :k]
     if ktile is None:
         ktile = min(round_up(k, 128), 512)
     if k % ktile:
         x = jnp.pad(x, ((0, 0), (0, ktile - k % ktile)))
-    nb_cols = cdiv(max(n, 1), fmt.bs)
     x = pad_dense_rows(x.astype(jnp.float32), nb_cols * fmt.bs)
     y = _bell_call(fmt.blkcol, fmt.blkvals, x,
                    bs=fmt.bs, ktile=ktile, mode=precision, interpret=interpret)
