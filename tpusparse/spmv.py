@@ -33,9 +33,14 @@ def _segment_spmv(rows, cols, vals, x, *, m):
 
 
 def spmv_fn(mat: CooMatrix, method: str = "auto"):
-    """Returns a jitted ``fn(x[N]) -> y[M]`` for repeated application."""
+    """Returns a jitted ``fn(x[N]) -> y[M]`` for repeated application.
+
+    'auto' picks the span one-hot path (6x the segment path, pack cost
+    amortized over calls) when the widened x fits VMEM, else 'segment'."""
     m, n = mat.shape
-    if method in ("auto", "segment"):
+    if method == "auto":
+        method = "span" if n * 8 * 4 <= 6 * 1024 * 1024 else "segment"
+    if method == "segment":
         rows = jnp.asarray(mat.rows, jnp.int32)
         cols = jnp.asarray(mat.cols, jnp.int32)
         vals = jnp.asarray(mat.vals, jnp.float32)
