@@ -76,3 +76,13 @@ def test_from_nm_throughput_mode():
     x = np.random.default_rng(14).standard_normal((5, 128)).astype(np.float32)
     np.testing.assert_allclose(np.asarray(layer(x)), _dense_ref(w, x),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_from_block_differentiable():
+    mat = builder.block_sparse_coo(256, 256, block=128, block_density=0.4, seed=15)
+    w = mat.to_dense(np.float32)
+    layer = SparseLinear.from_block(mat, precision="fp32", differentiable=True)
+    x = jnp.asarray(np.random.default_rng(16).standard_normal((3, 256)), jnp.float32)
+    g = jax.grad(lambda x: jnp.sum(layer(x) ** 2))(x)
+    gd = jax.grad(lambda x: jnp.sum((x @ jnp.asarray(w).T) ** 2))(x)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(gd), rtol=5e-3, atol=5e-3)

@@ -115,14 +115,37 @@ class SparseLinear:
 
     @classmethod
     def from_block(cls, mat: CooMatrix, *, bs: int = 128, precision: str = "bf16",
-                   bias=None, interpret=None) -> "SparseLinear":
+                   bias=None, interpret=None,
+                   differentiable: bool = False) -> "SparseLinear":
+        import jax
+
         from tpusparse.kernels.block_ell import block_ell_spmm, pack_block_ell
 
-        fmt = pack_block_ell(mat, bs=bs,
-                             dtype="bfloat16" if precision == "bf16" else "float32")
+        dt = "bfloat16" if precision == "bf16" else "float32"
+        fmt = pack_block_ell(mat, bs=bs, dtype=dt)
 
         def fn(x):
             return block_ell_spmm(fmt, x, precision=precision, interpret=interpret)
+
+        if differentiable:
+            # backward = transposed Block-ELL plan (a transposed block-sparse
+            # matrix is block-sparse with transposed blocks)
+            fmt_t = pack_block_ell(mat.transpose().sort_row_major(), bs=bs, dtype=dt)
+
+            fwd_inner = fn
+
+            @jax.custom_vjp
+            def fn(x):
+                return fwd_inner(x)
+
+            def _fwd(x):
+                return fwd_inner(x), None
+
+            def _bwd(_, dy):
+                return (block_ell_spmm(fmt_t, dy, precision=precision,
+                                       interpret=interpret),)
+
+            fn.defvjp(_fwd, _bwd)
 
         m, n = mat.shape
         return cls(fn, m, n, bias=bias, meta={"kind": f"block_{bs}"})
