@@ -48,6 +48,7 @@ static inline const char* next_line(const char* p, const char* end) {
 // Parses the file at `path`.  Outputs malloc'd arrays (caller ts_free's).
 // Returns 0 on success, negative error codes otherwise.
 //   -1 open failed   -2 malformed size line   -3 entry out of range
+//   -5 diagonal entry in a skew-symmetric matrix
 int ts_parse_mtx(const char* path,
                  int64_t** out_rows, int64_t** out_cols, double** out_vals,
                  int64_t* out_m, int64_t* out_n, int64_t* out_nnz) {
@@ -63,7 +64,7 @@ int ts_parse_mtx(const char* path,
   const char* p = buf.data();
   const char* end = buf.data() + rd;
 
-  bool symmetric = false, pattern = false, header_seen = false;
+  bool symmetric = false, skew = false, pattern = false, header_seen = false;
   bool first = true;
   int64_t m = -1, n = -1, declared = -1;
 
@@ -80,6 +81,7 @@ int ts_parse_mtx(const char* path,
         std::vector<char> line(q, le);
         line.push_back('\0');
         for (char& c : line) c = (char)tolower((unsigned char)c);
+        if (strstr(line.data(), "skew-symmetric")) skew = true;
         if (strstr(line.data(), "symmetric")) symmetric = true;
         if (strstr(line.data(), "pattern")) pattern = true;
         header_seen = true;
@@ -133,9 +135,11 @@ int ts_parse_mtx(const char* path,
     }
     r -= 1; c -= 1;
     if (r < 0 || r >= m || c < 0 || c >= n) return -3;
+    if (skew && r == c) return -5;  // skew-symmetric forbids diagonal entries
     rows.push_back(r); cols.push_back(c); vals.push_back(v);
     if (symmetric && r != c) {
-      rows.push_back(c); cols.push_back(r); vals.push_back(v);
+      // skew-symmetric: A = -A^T, the mirrored entry is negated
+      rows.push_back(c); cols.push_back(r); vals.push_back(skew ? -v : v);
     }
     p = next_line(p, end);
   }

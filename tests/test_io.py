@@ -139,3 +139,57 @@ def test_bcoo_interop():
     b = mat.to_bcoo()
     back = CooMatrix.from_bcoo(b)
     np.testing.assert_allclose(back.to_dense(np.float64), mat.to_dense(np.float64))
+
+
+MTX_SKEW = """%%MatrixMarket matrix coordinate real skew-symmetric
+3 3 2
+2 1 1.5
+3 2 -2.0
+"""
+
+
+def test_read_skew_symmetric():
+    m = read_mtx(io.StringIO(MTX_SKEW))
+    d = m.to_dense(np.float64)
+    # A = -A^T: the mirrored entries carry negated values
+    assert d[1, 0] == 1.5 and d[0, 1] == -1.5
+    assert d[2, 1] == -2.0 and d[1, 2] == 2.0
+    np.testing.assert_allclose(d, -d.T)
+
+
+def test_read_skew_symmetric_rejects_diagonal():
+    bad = MTX_SKEW + "1 1 3.0\n"
+    with pytest.raises(ValueError):
+        read_mtx(io.StringIO(bad))
+
+
+def test_read_skew_symmetric_native(tmp_path):
+    from tpusparse import native
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+    p = tmp_path / "skew.mtx"
+    p.write_text(MTX_SKEW)
+    m = read_mtx(p)  # routes through the C++ parser
+    d = m.to_dense(np.float64)
+    np.testing.assert_allclose(d, -d.T)
+    assert d[1, 0] == 1.5 and d[0, 1] == -1.5
+    bad = tmp_path / "skew_bad.mtx"
+    bad.write_text(MTX_SKEW + "1 1 3.0\n")
+    with pytest.raises(ValueError):
+        read_mtx(bad)
+
+
+def test_sum_duplicates_and_from_bcoo_dups():
+    import jax.numpy as jnp
+    from jax.experimental import sparse as jsparse
+    from tpusparse.io.mtx import CooMatrix
+
+    # duplicate (0, 1) entries must SUM (BCOO semantics), not keep-first
+    idx = jnp.asarray([[0, 1], [0, 1], [2, 0]], jnp.int32)
+    data = jnp.asarray([2.0, 3.0, 4.0], jnp.float32)
+    b = jsparse.BCOO((data, idx), shape=(3, 3))
+    mat = CooMatrix.from_bcoo(b)
+    d = mat.to_dense(np.float64)
+    assert d[0, 1] == 5.0 and d[2, 0] == 4.0
+    assert mat.nnz == 2

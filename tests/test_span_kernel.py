@@ -173,3 +173,60 @@ def test_with_values_python_fallback():
     mat2 = CooMatrix(mat.rows, mat.cols, np.asarray(mat.vals) * -2.0, mat.shape)
     y = np.asarray(span_spmm(fmt2, x, precision="fp32"))
     check_result(y, spmm_reference(mat2, x.astype(np.float64)), rtol=1e-5)
+
+
+def test_segment_span_empty_row_gap_bounds_rb():
+    """A block spanning a long empty-row gap must NOT blow up rb: segment id
+    is the row RANK within the block, not the row offset (ADVICE r1)."""
+    import numpy as np
+    from tpusparse.io.mtx import CooMatrix
+    from tpusparse.kernels.nnz_split import pack_segment_span, segment_span_spmm
+
+    rng = np.random.default_rng(9)
+    # rows 0..9 and 9000..9009: a 9k-row gap inside one nnz block
+    rows = np.concatenate([np.repeat(np.arange(10), 8),
+                           np.repeat(np.arange(9000, 9010), 8)])
+    cols = rng.integers(0, 200, rows.size)
+    vals = rng.standard_normal(rows.size)
+    mat = CooMatrix(rows, cols, vals, (9010, 200)).sort_row_major().dedup()
+    fmt = pack_segment_span(mat, block_nnz=256, ct=128, g=32)
+    # rb bounded by rows-per-block (<= block_nnz), not the 9k row span
+    assert fmt.rb <= 256
+    x = rng.standard_normal((200, 8)).astype(np.float32)
+    y = np.asarray(segment_span_spmm(fmt, x, precision="fp32"))
+    check_result(y, spmm_reference(mat, x.astype(np.float64)), rtol=1e-4)
+
+
+def test_segment_span_numpy_fallback(monkeypatch):
+    """pack_segment_span works without the native library (numpy chunker)."""
+    import numpy as np
+    from tpusparse import native
+    from tpusparse.io import builder
+    from tpusparse.kernels.nnz_split import pack_segment_span, segment_span_spmm
+
+    mat = builder.power_law_coo(120, 150, avg_nnz_per_row=6.0, alpha=1.2, seed=31)
+    x = np.random.default_rng(6).standard_normal((150, 8)).astype(np.float32)
+    fmt_native = pack_segment_span(mat, block_nnz=64, ct=64, g=32) if native.available() else None
+    monkeypatch.setattr(native, "available", lambda: False)
+    fmt = pack_segment_span(mat, block_nnz=64, ct=64, g=32)
+    y = np.asarray(segment_span_spmm(fmt, x, precision="fp32"))
+    check_result(y, spmm_reference(mat, x.astype(np.float64)), rtol=1e-4)
+    if fmt_native is not None:
+        # numpy and native chunkers produce identical formats
+        np.testing.assert_array_equal(np.asarray(fmt.c0), np.asarray(fmt_native.c0))
+        np.testing.assert_array_equal(np.asarray(fmt.cols), np.asarray(fmt_native.cols))
+        np.testing.assert_array_equal(np.asarray(fmt.vals), np.asarray(fmt_native.vals))
+
+
+def test_default_schedule_vmem_gate():
+    """default_schedule falls back when X cannot be VMEM-resident (ADVICE r1)."""
+    from tpusparse.io.mtx import CooMatrix
+    from tpusparse.schedule import default_schedule
+    import numpy as np
+
+    small = CooMatrix(np.array([0]), np.array([0]), np.array([1.0]), (100, 1000))
+    big = CooMatrix(np.array([0]), np.array([0]), np.array([1.0]), (100, 2_000_000))
+    assert default_schedule(small, 8).family == "span_onehot"
+    assert default_schedule(big, 8).family == "span_colsplit"
+    assert default_schedule(big).family == "tile_onehot"   # K unknown: streaming-safe
+    assert default_schedule(small, 512).family == "tile_onehot"

@@ -34,14 +34,10 @@ def spmm(mat, x, schedule=None, **kwargs):
     default for the K regime (span_onehot at K<=128, tile_onehot above);
     pass a Schedule (tpusparse.Schedule) to control it, or use
     tpusparse.tune.tune for the autotuned path."""
-    from tpusparse.schedule import Schedule, build_plan
+    from tpusparse.schedule import build_plan, default_schedule
 
     if schedule is None:
-        k = x.shape[-1]
-        if k <= 128:
-            schedule = Schedule(family="span_onehot", rb=512, ct=1024, g=512, unroll=4)
-        else:
-            schedule = Schedule()
+        schedule = default_schedule(mat, x.shape[-1])
     plan = build_plan(mat, schedule, **kwargs)
     return plan(x)
 

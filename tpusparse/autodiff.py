@@ -23,12 +23,14 @@ def spmm_fn(mat: CooMatrix, schedule=None, t_schedule=None, *, interpret=None):
     ``schedule`` / ``t_schedule``: optional explicit Schedules for the
     forward (A) and backward (A^T) plans; defaults pick the span family.
     """
-    from tpusparse.schedule import Schedule, build_plan
+    from tpusparse.schedule import build_plan, default_schedule
 
-    if schedule is None:
-        schedule = Schedule(family="span_onehot", rb=512, ct=1024, g=512, unroll=4)
     if t_schedule is None:
-        t_schedule = schedule
+        # mirror an explicit user schedule; default independently (A and A^T
+        # have swapped shapes, so the VMEM gate can differ)
+        t_schedule = schedule if schedule is not None else default_schedule(mat.transpose())
+    if schedule is None:
+        schedule = default_schedule(mat)  # K unknown: VMEM-safe default
     fwd_plan = build_plan(mat, schedule, interpret=interpret)
     bwd_plan = build_plan(mat.transpose().sort_row_major(), t_schedule,
                           interpret=interpret)

@@ -333,9 +333,13 @@ def pack_halo_span(
     if native.available():
         packed = native.span_pack(lcol_s, lrow_s, vals_s, starts, g, span_budget)
     if packed is None:
-        raise RuntimeError("pack_halo_span requires the native library "
-                           "(csrc); build it with `make -C csrc`")
-    c0_2d, cols_f, lrow_f, vals_f = packed
+        from tpusparse.kernels.span_gather import span_chunk_numpy
+
+        c0_2d, cols_f, lrow_f, vals_f, _ = span_chunk_numpy(
+            lcol_s, lrow_s, vals_s, starts, g, span_budget
+        )
+    else:
+        c0_2d, cols_f, lrow_f, vals_f = packed
     nc = c0_2d.shape[1]
 
     shape5 = (d, d, p_loc)
@@ -364,6 +368,7 @@ def build_halo_span_spmm(
     mesh: Mesh,
     *,
     ktile: int | None = None,
+    precision: str = "fp32x2",
     unroll: int = 4,
     interpret: bool | None = None,
 ):
@@ -396,9 +401,14 @@ def build_halo_span_spmm(
     def ring_kernel(c0, cols, lrow, vals, x_chunk):
         c0, cols, lrow, vals = c0[0], cols[0], lrow[0], vals[0]
         me = jax.lax.axis_index("rows")
-        kt = x_chunk.shape[1] if x_chunk.shape[1] <= 128 else 128
+        k_in = x_chunk.shape[1]
+        kt = k_in if k_in <= 128 else 128
         if ktile is not None:
             kt = ktile
+        # _span_call reshapes X as (n, kt_count, kt): pad the local K (which
+        # per-shard need not divide kt, e.g. K=200 over 2 k-shards) up front
+        if k_in % kt:
+            x_chunk = jnp.pad(x_chunk, ((0, 0), (0, kt - k_in % kt)))
 
         def step(s, carry):
             x_cur, y = carry
@@ -410,14 +420,13 @@ def build_halo_span_spmm(
             part = _span_call(
                 sub[0], sub[1], sub[2], sub[3], x_cur,
                 n_programs=p_loc, nc=nc, g=g, rb=rb, ct=ct,
-                ktile=kt, mode="fp32x2", unroll=unroll, interpret=interpret,
+                ktile=kt, mode=precision, unroll=unroll, interpret=interpret,
             )
             return x_next, y + part
 
-        k_pad = x_chunk.shape[1]
-        y0 = jnp.zeros((p_loc * rb, ((k_pad + kt - 1) // kt) * kt), jnp.float32)
+        y0 = jnp.zeros((p_loc * rb, x_chunk.shape[1]), jnp.float32)
         _, y = jax.lax.fori_loop(0, d, step, (x_chunk, y0))
-        return y[:, :k_pad]
+        return y[:, :k_in]
 
     @jax.jit
     def fn(c0, cols, lrow, vals, slot, x):

@@ -72,6 +72,15 @@ class CooMatrix:
         idx.sort()
         return CooMatrix(self.rows[idx], self.cols[idx], self.vals[idx], self.shape)
 
+    def sum_duplicates(self) -> "CooMatrix":
+        """Sum values of duplicate (row, col) entries (BCOO / scipy COO
+        semantics, and what this package's own kernels compute)."""
+        key = self.rows * self.shape[1] + self.cols
+        uniq, inv = np.unique(key, return_inverse=True)
+        vals = np.zeros(uniq.size, dtype=np.asarray(self.vals).dtype)
+        np.add.at(vals, inv, self.vals)
+        return CooMatrix(uniq // self.shape[1], uniq % self.shape[1], vals, self.shape)
+
     def row_lengths(self) -> np.ndarray:
         return np.bincount(self.rows, minlength=self.shape[0]).astype(np.int64)
 
@@ -110,10 +119,12 @@ class CooMatrix:
         """From a jax.experimental.sparse.BCOO (2D, unbatched)."""
         idx = np.asarray(bcoo.indices)
         assert idx.ndim == 2 and idx.shape[1] == 2, "expected unbatched 2D BCOO"
+        # BCOO sums duplicate indices (as do this package's kernels) — a
+        # keep-first dedup would silently drop data for non-canonical inputs
         return cls(
             idx[:, 0].astype(np.int64), idx[:, 1].astype(np.int64),
             np.asarray(bcoo.data), tuple(bcoo.shape),
-        ).sort_row_major().dedup()
+        ).sum_duplicates()
 
     def to_bcoo(self, dtype=np.float32):
         import jax.numpy as jnp
@@ -153,6 +164,7 @@ def read_mtx(path_or_file, graph_mode: str | None = None) -> CooMatrix:
             text_iter = iter(f.read().splitlines())
 
     symmetric = False
+    skew = False
     pattern = False
     header_seen = False
     dims: tuple[int, int] | None = None
@@ -169,7 +181,8 @@ def read_mtx(path_or_file, graph_mode: str | None = None) -> CooMatrix:
         if line.startswith("%"):
             if first_line and line.startswith("%%MatrixMarket"):
                 banner = line.lower().split()
-                symmetric = "symmetric" in banner or "skew-symmetric" in banner
+                skew = "skew-symmetric" in banner
+                symmetric = skew or "symmetric" in banner
                 pattern = "pattern" in banner
                 header_seen = True
             first_line = False
@@ -192,13 +205,18 @@ def read_mtx(path_or_file, graph_mode: str | None = None) -> CooMatrix:
         r = int(parts[0]) - 1
         c = int(parts[1]) - 1
         v = 1.0 if (pattern or len(parts) < 3) else float(parts[2])
+        if skew and r == c:
+            raise ValueError(
+                f"diagonal entry ({r + 1}, {c + 1}) in skew-symmetric matrix"
+            )
         rows_l.append(r)
         cols_l.append(c)
         vals_l.append(v)
         if symmetric and r != c:
             rows_l.append(c)
             cols_l.append(r)
-            vals_l.append(v)
+            # skew-symmetric: A = -A^T, the mirrored entry is negated
+            vals_l.append(-v if skew else v)
 
     if dims is None:
         raise ValueError("no size line found in matrix file")

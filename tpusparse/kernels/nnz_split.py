@@ -118,17 +118,21 @@ def pack_segment_span(
     p_count = max(-(-max(nnz, 1) // b), 1)
 
     blk = np.minimum(np.arange(nnz) // b, p_count - 1) if nnz else np.empty(0, np.int64)
-    # segment id = row rank within block (rows ascending within a block)
-    first_row = np.zeros(p_count, dtype=np.int64)
+    # segment id = row RANK within the block (not row offset: a block
+    # spanning a long empty-row gap would otherwise make rb — and the
+    # P*rb*K slot output — arbitrarily large, and skewed matrices, the
+    # case this family exists for, commonly have such gaps)
     max_seg = 1
     seg = np.zeros(nnz, dtype=np.int64)
+    rows_of_block: list[np.ndarray] = [np.empty(0, np.int64)] * p_count
     for p in range(p_count):
         lo, hi = p * b, min((p + 1) * b, nnz)
         if lo >= hi:
             continue
-        first_row[p] = rows[lo]
-        seg[lo:hi] = rows[lo:hi] - rows[lo]
-        max_seg = max(max_seg, int(seg[hi - 1]) + 1)
+        u, inv = np.unique(rows[lo:hi], return_inverse=True)
+        seg[lo:hi] = inv
+        rows_of_block[p] = u
+        max_seg = max(max_seg, u.size)
     rb = round_up(max_seg, 8)
 
     # span-chunk within (block) by column
@@ -145,20 +149,19 @@ def pack_segment_span(
     if native.available():
         packed = native.span_pack(cols_s, seg_s, vals_s, starts, g, span_budget)
     if packed is None:
-        raise RuntimeError("pack_segment_span requires the native library; "
-                           "build it with `make -C csrc` (or use pack_segment)")
-    c0_2d, cols_f, lrow_f, vals_f = packed
+        from tpusparse.kernels.span_gather import span_chunk_numpy
+
+        c0_2d, cols_f, lrow_f, vals_f, _ = span_chunk_numpy(
+            cols_s, seg_s, vals_s, starts, g, span_budget
+        )
+    else:
+        c0_2d, cols_f, lrow_f, vals_f = packed
     nc = c0_2d.shape[1]
 
     row_of_slot = np.full(p_count * rb, -1, dtype=np.int32)
     for p in range(p_count):
-        lo, hi = p * b, min((p + 1) * b, nnz)
-        if lo >= hi:
-            continue
-        span_rows = int(rows[hi - 1] - rows[lo]) + 1
-        row_of_slot[p * rb: p * rb + span_rows] = (
-            first_row[p] + np.arange(span_rows)
-        ).astype(np.int32)
+        u = rows_of_block[p]
+        row_of_slot[p * rb: p * rb + u.size] = u.astype(np.int32)
 
     return SegmentSpanFormat(
         c0=jnp.asarray(c0_2d[:, None, :]),

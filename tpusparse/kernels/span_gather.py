@@ -97,6 +97,45 @@ class SpanFormat:
                    for a in (self.c0, self.cols, self.lrow, self.vals))
 
 
+def span_chunk_numpy(cols_s, lrow_s, vals_s, starts, g, span_budget, *,
+                     keep_perm=False):
+    """Pure-numpy span chunker (fallback for native.span_pack): cut each
+    program's column-sorted nz into chunks of <= G nz whose columns fit a
+    ``span_budget``-wide window.  Returns (c0 [P, NC], cols/lrow [P, NC, G],
+    vals [P, NC, G], dest_sorted or None)."""
+    p_count = len(starts) - 1
+    chunks: list[list[tuple[int, int, int]]] = [[] for _ in range(p_count)]
+    # build (c0, begin, end) chunk descriptors per program
+    for p in range(p_count):
+        lo, hi = int(starts[p]), int(starts[p + 1])
+        colp = cols_s[lo:hi]
+        i = lo
+        while i < hi:
+            c0 = int(cols_s[i]) & ~7
+            # nz fitting this window, capped at G
+            j_span = lo + int(np.searchsorted(colp, c0 + span_budget + 8, side="left"))
+            j = min(i + g, j_span, hi)
+            chunks[p].append((c0, i, j))
+            i = j
+
+    nc = max(max((len(c) for c in chunks), default=1), 1)
+    c0_2d = np.zeros((p_count, nc), dtype=np.int32)
+    cols_f = np.zeros((p_count, nc, g), dtype=np.int32)
+    lrow_f = np.zeros((p_count, nc, g), dtype=np.int32)
+    vals_f = np.zeros((p_count, nc, g), dtype=np.float32)
+    dest_sorted = np.zeros(cols_s.size, dtype=np.int64) if keep_perm else None
+    for p in range(p_count):
+        for ci, (c0, i, j) in enumerate(chunks[p]):
+            n = j - i
+            c0_2d[p, ci] = c0
+            cols_f[p, ci, :n] = cols_s[i:j] - c0
+            lrow_f[p, ci, :n] = lrow_s[i:j]
+            vals_f[p, ci, :n] = vals_s[i:j]
+            if keep_perm:
+                dest_sorted[i:j] = (p * nc + ci) * g + np.arange(n)
+    return c0_2d, cols_f, lrow_f, vals_f, dest_sorted
+
+
 def pack_span(
     mat_or_ms,
     sub: int = 0,
@@ -179,36 +218,11 @@ def pack_span(
         nc = c0_2d.shape[1]
         c0_arr = c0_2d[:, None, :]
     else:
-        chunks: list[list[tuple[int, int, int]]] = [[] for _ in range(p_count)]
-        # build (c0, begin, end) chunk descriptors per program
-        for p in range(p_count):
-            lo, hi = int(starts[p]), int(starts[p + 1])
-            colp = cols_s[lo:hi]
-            i = lo
-            while i < hi:
-                c0 = int(cols_s[i]) & ~7
-                # nz fitting this window, capped at G
-                j_span = lo + int(np.searchsorted(colp, c0 + span_budget + 8, side="left"))
-                j = min(i + g, j_span, hi)
-                chunks[p].append((c0, i, j))
-                i = j
-
-        nc = max(max((len(c) for c in chunks), default=1), 1)
-        c0_arr = np.zeros((p_count, 1, nc), dtype=np.int32)
-        cols_f = np.zeros((p_count, nc, g), dtype=np.int32)
-        lrow_f = np.zeros((p_count, nc, g), dtype=np.int32)
-        vals_f = np.zeros((p_count, nc, g), dtype=np.float32)
-        if keep_perm:
-            dest_sorted = np.zeros(cols_s.size, dtype=np.int64)
-        for p in range(p_count):
-            for ci, (c0, i, j) in enumerate(chunks[p]):
-                n = j - i
-                c0_arr[p, 0, ci] = c0
-                cols_f[p, ci, :n] = cols_s[i:j] - c0
-                lrow_f[p, ci, :n] = lrow_s[i:j]
-                vals_f[p, ci, :n] = vals_s[i:j]
-                if keep_perm:
-                    dest_sorted[i:j] = (p * nc + ci) * g + np.arange(n)
+        c0_2d, cols_f, lrow_f, vals_f, dest_sorted = span_chunk_numpy(
+            cols_s, lrow_s, vals_s, starts, g, span_budget, keep_perm=keep_perm
+        )
+        nc = c0_2d.shape[1]
+        c0_arr = c0_2d[:, None, :]
 
     slot_of_origrow = np.full(out_rows, -1, dtype=np.int32)
     keep = rec >= 0

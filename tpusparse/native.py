@@ -94,6 +94,8 @@ def parse_mtx(path: str):
         raise ValueError(f"malformed matrix file: {path}")
     if rc == -3:
         raise ValueError(f"entry index out of range in {path}")
+    if rc == -5:
+        raise ValueError(f"diagonal entry in skew-symmetric matrix: {path}")
     if rc != 0:
         return None
     k = nnz.value

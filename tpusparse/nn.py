@@ -54,11 +54,10 @@ class SparseLinear:
             fn = spmm_fn(mat, schedule, interpret=interpret)
             meta = {"kind": "coo+vjp"}
         else:
-            from tpusparse.schedule import Schedule, build_plan
+            from tpusparse.schedule import build_plan, default_schedule
 
             if schedule is None:
-                schedule = Schedule(family="span_onehot", rb=512, ct=1024, g=512,
-                                    unroll=4)
+                schedule = default_schedule(mat)  # K unknown: VMEM-safe default
             plan = build_plan(mat, schedule, interpret=interpret)
             fn = plan.fn
             meta = {"kind": "coo", "schedule": plan.meta["schedule"]}

@@ -77,6 +77,25 @@ class Schedule:
         return dataclasses.asdict(self)
 
 
+def default_schedule(mat: CooMatrix, k: int | None = None) -> Schedule:
+    """Benched default family for the K regime, with the span X-VMEM gate:
+    the span kernel needs the whole (N, xwidth) X block VMEM-resident, so
+    large N falls back to span_colsplit (K known) or the streaming
+    tile_onehot kernel (K unknown at plan-build time, e.g. SparseLinear)."""
+    n = mat.shape[1]
+    kt = 128 if k is None else min(k, 128)
+    x_bytes = n * 2 * kt * 2  # fp32x2 packs hi+lo bf16: 2*ktile bf16 per row
+    if k is not None and k > 128:
+        return Schedule()  # tile_onehot (streams X, safe at any N)
+    if x_bytes <= 6 * 1024 * 1024:
+        return Schedule(family="span_onehot", rb=512, ct=1024, g=512, unroll=4)
+    if k is not None:
+        return Schedule(family="span_colsplit",
+                        col_split=-(-x_bytes // (4 * 1024 * 1024)),
+                        rb=512, ct=1024, g=512, unroll=4)
+    return Schedule()
+
+
 def _build_sub_plan(ms, ex, sub: int, sched: Schedule, out_rows: int, interpret):
     """Run distributing+implementing for one sub-matrix; return (format, fn)."""
     if sched.family == "stripe_total":

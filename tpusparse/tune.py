@@ -92,9 +92,7 @@ def default_candidates(mat: CooMatrix, k: int) -> list[Schedule]:
     # nnz-direction + segment combine (bitmap/segment analogues) — wins on
     # extreme skew where row-aligned stripes pad badly
     if skewed:
-        from tpusparse import native
-
-        if native.available() and k <= 128:
+        if k <= 128:
             cands.append(Schedule(family="segment_span", work_per_block=4096,
                                   ct=512, g=256, unroll=4))
         cands.append(Schedule(family="nnz_segment", work_per_block=2048, unroll=8))
