@@ -49,8 +49,21 @@ def main():
     from tpusparse.schedule import Schedule, build_plan
     from tpusparse.tune import _span_configs
 
+    from tpusparse.tune import _radix_configs
+
     candidates = []
-    for rb, ct, g in _span_configs(mat.density)[:3]:
+    for rb, S, g in _radix_configs(mat.density, 8)[:2] + [(1024, 128, 512)]:
+        name = f"radix rb={rb} S={S} g={g}"
+        if any(n == name for n, _ in candidates):
+            continue
+        candidates.append((
+            name,
+            lambda rb=rb, S=S, g=g: build_plan(
+                mat, Schedule(family="radix_span", rb=rb, sublanes=S, g=g,
+                              unroll=4, ktile=8)
+            ),
+        ))
+    for rb, ct, g in _span_configs(mat.density)[:2]:
         candidates.append((
             f"span rb={rb} ct={ct} g={g}",
             lambda rb=rb, ct=ct, g=g: build_plan(

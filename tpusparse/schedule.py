@@ -44,7 +44,8 @@ from tpusparse.ops import (
 )
 
 KERNEL_FAMILIES = ("stripe_total", "nnz_segment", "segment_span", "tile_onehot",
-                   "span_onehot", "span_colsplit", "bucketed", "dense", "block_ell")
+                   "span_onehot", "span_colsplit", "radix_span", "bucketed",
+                   "dense", "block_ell")
 BLOCKINGS = ("merge_path", "balanced", "fixed_rows")
 
 
@@ -66,6 +67,7 @@ class Schedule:
     ct: int = 1024
     g: int = 512
     col_split: int = 0                 # span_colsplit: number of column ranges
+    sublanes: int = 128                # radix_span: window sublane count S
     # implementing
     precision: str = "fp32x2"          # tile kernel precision mode
     unroll: int = 4
@@ -78,15 +80,23 @@ class Schedule:
 
 
 def default_schedule(mat: CooMatrix, k: int | None = None) -> Schedule:
-    """Benched default family for the K regime, with the span X-VMEM gate:
-    the span kernel needs the whole (N, xwidth) X block VMEM-resident, so
+    """Benched default family for the K regime, with the X-VMEM gate: the
+    radix/span kernels need the whole packed X block VMEM-resident, so
     large N falls back to span_colsplit (K known) or the streaming
     tile_onehot kernel (K unknown at plan-build time, e.g. SparseLinear)."""
+    from tpusparse.kernels.radix_gather import choose_kt
+
     n = mat.shape[1]
     kt = 128 if k is None else min(k, 128)
     x_bytes = n * 2 * kt * 2  # fp32x2 packs hi+lo bf16: 2*ktile bf16 per row
     if k is not None and k > 128:
         return Schedule()  # tile_onehot (streams X, safe at any N)
+    if k is not None and k <= 32:
+        # radix lane-packed xp is N*kt*4 bytes (fp32x2) per resident tile
+        kt_r = choose_kt(k)
+        if n * kt_r * 4 <= 6 * 1024 * 1024:
+            return Schedule(family="radix_span", rb=1024, sublanes=128, g=512,
+                            unroll=4, ktile=kt_r)
     if x_bytes <= 6 * 1024 * 1024:
         return Schedule(family="span_onehot", rb=512, ct=1024, g=512, unroll=4)
     if k is not None:
@@ -135,6 +145,19 @@ def _build_sub_plan(ms, ex, sub: int, sched: Schedule, out_rows: int, interpret)
         def fn(x, fmt=fmt):
             return span_spmm(fmt, x, ktile=sched.ktile, precision=sched.precision,
                              unroll=sched.unroll, interpret=interpret)
+
+        return fmt, fn
+    if sched.family == "radix_span":
+        from tpusparse.kernels.radix_gather import (PRECISIONS, choose_kt,
+                                                    pack_radix, radix_spmm)
+
+        mode = sched.precision if sched.precision in PRECISIONS else "fp32x2"
+        kt = choose_kt(sched.ktile) if sched.ktile else 8
+        fmt = pack_radix(ms, sub, out_rows=out_rows, rb=sched.rb,
+                         S=sched.sublanes, g=sched.g, kt=kt, mode=mode)
+
+        def fn(x, fmt=fmt):
+            return radix_spmm(fmt, x, unroll=sched.unroll, interpret=interpret)
 
         return fmt, fn
     if sched.family == "tile_onehot":

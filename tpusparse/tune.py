@@ -61,14 +61,39 @@ def _span_configs(density: float) -> list[tuple[int, int, int]]:
     return out[:4]
 
 
+def _radix_configs(density: float, kt: int) -> list[tuple[int, int, int]]:
+    """(rb, S, g) candidates for the radix family: the window W = S*spr
+    should cover a G-chunk's column span ~g/(density*rb); S = W/spr capped
+    to [32, 512] sublanes."""
+    import math
+
+    spr = 64 // kt  # fp32x2 geometry
+    density = max(density, 1e-8)
+    out = []
+    for rb, g in ((1024, 512), (512, 512), (2048, 512)):
+        W = min(max(1.3 * g / (density * rb), 256), 64 * 1024)
+        S = int(min(max(2 ** math.ceil(math.log2(max(W / spr, 1))), 32), 512))
+        if (rb, S, g) not in out:
+            out.append((rb, S, g))
+    return out[:3]
+
+
 def default_candidates(mat: CooMatrix, k: int) -> list[Schedule]:
     """Heuristic candidate set (the reference's 7 pipelines + param grid,
     pruned by matrix statistics)."""
+    from tpusparse.kernels.radix_gather import choose_kt
+
     lengths = mat.row_lengths()
     max_len = int(lengths.max()) if lengths.size else 0
     avg_len = float(lengths.mean()) if lengths.size else 0.0
     skewed = max_len > 32 * max(avg_len, 1.0)
     cands: list[Schedule] = []
+    # radix lane-packed one-hot — champion at K <= 32 (3-dot decomposition)
+    kt_r = choose_kt(k)
+    if k <= 128 and mat.shape[1] * kt_r * 4 <= 6 * 1024 * 1024:
+        for rb, S, g in _radix_configs(mat.density, kt_r):
+            cands.append(Schedule(family="radix_span", rb=rb, sublanes=S, g=g,
+                                  unroll=4, ktile=kt_r))
     # span-chunked one-hot — dominant up to K~128 (dynamic windows, ~1.1 pad)
     # needs X resident in VMEM: gate on N * xwidth(bf16 hi+lo) footprint;
     # above the limit, the column-split variant sums per-range sub-plans
