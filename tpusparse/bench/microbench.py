@@ -1,0 +1,217 @@
+"""On-chip microbenchmarks: the measured numbers behind PERF.md.
+
+Round-1 review (VERDICT.md) flagged that the roofline used the 819 GB/s
+spec sheet and a paper "20 cyc / MXU tile" model that was never measured.
+This module measures, on the attached chip:
+
+  hbm_stream_gbs      elementwise-copy stream bandwidth (read+write), the
+                      roofline denominator for format-bound kernels
+  hbm_reduce_gbs      read-dominated reduction bandwidth
+  mxu_bf16_tflops     dense bf16 matmul peak
+  chunk cost rows     measured us per (P, NC) chunk loop for the span and
+                      radix kernels on synthetic uniform formats, sweeping
+                      the structural parameters — this is the empirical
+                      cost model (cyc/nz at the nominal 940 MHz v5e clock)
+
+``python -m tpusparse.bench.microbench`` appends JSON rows to
+MICROBENCH.jsonl.  ``roofline_bandwidth_gbs()`` measures once per machine
+and caches under config.cache_dir for the suite's pct_roofline columns.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+import numpy as np
+
+V5E_CLOCK_HZ = 940e6  # nominal; used only to express us/chunk as cycles
+
+
+def _log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def measure_hbm(nbytes: int = 1 << 29) -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    from tpusparse.bench.harness import time_fn
+
+    n = nbytes // 4
+    rows = max(n // 8192, 8)
+    a = jnp.asarray(np.random.default_rng(0).standard_normal((rows, 8192)),
+                    jnp.float32)
+    copy = jax.jit(lambda x: x * 1.0000001)
+    sec = time_fn(copy, a, iters=10, warmup=1)
+    stream = 2 * a.size * 4 / sec / 1e9
+    red = jax.jit(lambda x: jnp.sum(x, axis=0) * 1.0000001)
+    sec_r = time_fn(red, a, iters=10, warmup=1)
+    reduce_bw = a.size * 4 / sec_r / 1e9
+    return {"metric": "hbm", "stream_gbs": round(stream, 1),
+            "reduce_gbs": round(reduce_bw, 1), "nbytes": nbytes}
+
+
+def measure_mxu(m: int = 4096, k: int = 4096, n: int = 4096) -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    from tpusparse.bench.harness import time_fn
+
+    a = jnp.asarray(np.random.default_rng(1).standard_normal((m, k)),
+                    jnp.bfloat16)
+    b = jnp.asarray(np.random.default_rng(2).standard_normal((k, n)),
+                    jnp.bfloat16)
+
+    @jax.jit
+    def mm(x):
+        return jax.lax.dot_general(
+            x, b, dimension_numbers=((((1,), (0,))), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    sec = time_fn(mm, a, iters=10, warmup=1)
+    return {"metric": "mxu_bf16", "tflops": round(2 * m * k * n / sec / 1e12, 1),
+            "shape": [m, k, n]}
+
+
+def _synthetic_span(p, nc, g, rb, ct, n, seed=0):
+    """Uniform full chunks: every cost is structural, none is padding."""
+    import jax.numpy as jnp
+
+    from tpusparse.kernels.span_gather import SpanFormat
+
+    rng = np.random.default_rng(seed)
+    c0 = (rng.integers(0, max((n - ct) // 8, 1), (p, 1, nc)) * 8).astype(np.int32)
+    cols = rng.integers(0, ct, (p, nc, g)).astype(np.int32)
+    lrow = rng.integers(0, rb, (p, nc, g)).astype(np.int32)
+    vals = rng.standard_normal((p, nc, g)).astype(np.float32)
+    return SpanFormat(
+        c0=jnp.asarray(c0), cols=jnp.asarray(cols), lrow=jnp.asarray(lrow),
+        vals=jnp.asarray(vals),
+        slot_of_origrow=jnp.arange(p * rb, dtype=jnp.int32),
+        n_programs=p, n_chunks=nc, chunk_g=g, rb=rb, ct=ct,
+        shape=(p * rb, n), nnz_real=p * nc * g)
+
+
+def _synthetic_radix(p, nc, g, rb, S, kt, mode, n, seed=0):
+    import jax.numpy as jnp
+
+    from tpusparse.kernels.radix_gather import RadixFormat, radix_geometry
+
+    spr, _, ngrp = radix_geometry(kt, mode)
+    align = 8 * spr
+    W = S * spr
+    rng = np.random.default_rng(seed)
+    c0 = (rng.integers(0, max((n - W) // align, 1), (p, 1, nc)) * align).astype(np.int32)
+    cols = rng.integers(0, W, (p, nc, g)).astype(np.int32)
+    lrow = rng.integers(0, rb, (p, nc, g)).astype(np.int32)
+    vals = rng.standard_normal((p, nc, g)).astype(np.float32)
+    return RadixFormat(
+        c0=jnp.asarray(c0), cols=jnp.asarray(cols), lrow=jnp.asarray(lrow),
+        vals=jnp.asarray(vals),
+        slot_of_origrow=jnp.arange(p * rb, dtype=jnp.int32),
+        n_programs=p, n_chunks=nc, chunk_g=g, rb=rb, S=S, kt=kt, mode=mode,
+        shape=(p * rb, n), nnz_real=p * nc * g)
+
+
+def measure_chunk_costs(quick: bool = False) -> list[dict]:
+    """Time the span / radix chunk loops on synthetic uniform formats.
+    us/chunk isolates the structural per-chunk cost (the padding factor is
+    exactly 1 here)."""
+    import jax.numpy as jnp
+
+    from tpusparse.bench.harness import time_fn
+    from tpusparse.kernels.radix_gather import radix_spmm
+    from tpusparse.kernels.span_gather import span_spmm
+
+    n = 32768
+    p, nc = 64, 32
+    rows = []
+    span_cfgs = [(512, 1024, 512, 8), (512, 512, 512, 8), (256, 1024, 512, 8)]
+    radix_cfgs = [(1024, 128, 512, 8), (512, 128, 512, 8), (1024, 64, 512, 8),
+                  (1024, 128, 512, 1)]
+    if quick:
+        span_cfgs, radix_cfgs = span_cfgs[:1], radix_cfgs[:2]
+    for rb, ct, g, kt in span_cfgs:
+        fmt = _synthetic_span(p, nc, g, rb, ct, n)
+        x = jnp.asarray(np.random.default_rng(2).standard_normal((n, kt)),
+                        jnp.float32)
+        sec = time_fn(lambda xv: span_spmm(fmt, xv), x, iters=10)
+        us = sec / (p * nc) * 1e6
+        rows.append({
+            "metric": "chunk_cost", "kernel": "span", "rb": rb, "ct": ct,
+            "g": g, "kt": kt, "us_per_chunk": round(us, 3),
+            "cyc_per_nz": round(us * 1e-6 * V5E_CLOCK_HZ / g, 3),
+        })
+        _log(rows[-1])
+    for rb, S, g, kt in radix_cfgs:
+        fmt = _synthetic_radix(p, nc, g, rb, S, kt, "fp32x2", n)
+        x = jnp.asarray(np.random.default_rng(2).standard_normal((n, kt)),
+                        jnp.float32)
+        sec = time_fn(lambda xv: radix_spmm(fmt, xv), x, iters=10)
+        us = sec / (p * nc) * 1e6
+        rows.append({
+            "metric": "chunk_cost", "kernel": "radix", "rb": rb, "S": S,
+            "g": g, "kt": kt, "us_per_chunk": round(us, 3),
+            "cyc_per_nz": round(us * 1e-6 * V5E_CLOCK_HZ / g, 3),
+        })
+        _log(rows[-1])
+    return rows
+
+
+def roofline_bandwidth_gbs(refresh: bool = False) -> float:
+    """Measured stream bandwidth, cached per machine under cache_dir.
+    Used by the suite to report pct_roofline against real numbers instead
+    of the spec sheet."""
+    from tpusparse.config import get_config
+
+    cfg = get_config()
+    path = os.path.join(cfg.cache_dir, "microbench.json")
+    if not refresh and os.path.exists(path):
+        try:
+            with open(path) as f:
+                return float(json.load(f)["stream_gbs"])
+        except Exception:
+            pass
+    import jax
+
+    if jax.default_backend() != "tpu":
+        return 0.0  # CPU CI: no meaningful roofline
+    row = measure_hbm()
+    os.makedirs(cfg.cache_dir, exist_ok=True)
+    with open(path, "w") as f:
+        json.dump(row, f)
+    return float(row["stream_gbs"])
+
+
+def main(argv=None):
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--out", default="MICROBENCH.jsonl")
+    args = ap.parse_args(argv)
+
+    rows = [measure_hbm(), measure_mxu()]
+    for r in rows:
+        _log(r)
+    rows += measure_chunk_costs(quick=args.quick)
+    import time as _t
+
+    with open(args.out, "a") as f:
+        for r in rows:
+            r["ts"] = _t.time()
+            f.write(json.dumps(r) + "\n")
+    # refresh the cached roofline number alongside
+    from tpusparse.config import get_config
+
+    cfg = get_config()
+    os.makedirs(cfg.cache_dir, exist_ok=True)
+    with open(os.path.join(cfg.cache_dir, "microbench.json"), "w") as f:
+        json.dump(rows[0], f)
+    print(json.dumps({"wrote": args.out, "rows": len(rows)}))
+
+
+if __name__ == "__main__":
+    main()

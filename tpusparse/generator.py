@@ -36,7 +36,7 @@ class SpmmPlan:
         """Static cost introspection: format bytes, padding, and the
         per-call useful-FLOP count (the reference prints the same quantities
         around its timing loop, code_generator.cc:589-648)."""
-        fmt_bytes = 0
+        fmt_bytes = int(self.meta.get("format_bytes", 0))  # e.g. densified A
         nnz_padded = 0
         nnz_real = 0
         for f in self.formats:

@@ -246,6 +246,117 @@ def pack_radix(
     )
 
 
+def pack_brick_ell(
+    ms,
+    sub: int = 0,
+    *,
+    out_rows: int,
+    rb: int = 1024,
+    S: int = 128,
+    g: int = 512,
+    kt: int = 8,
+    mode: str = "fp32x2",
+) -> RadixFormat:
+    """Brick-ELL packing: chunk nz in their STORED (ELL-padded, interleaved)
+    order instead of column-sorted order — the reference's headline layout
+    (col-pad-parent-to-max + interlance storage,
+    data_transform_step.hpp:1385-1693), mapped to the radix kernel so the
+    layout question is isolated with the kernel held constant.
+
+    Expects the metadata set to have been run through SortOperator (length)
+    + FixedIntervalRowBlockingOperator(8) + EllBlockPadOperator +
+    InterleaveStorageOperator; programs are ``rb`` CONTIGUOUS sorted rows
+    (bricks of 8 padded rows nest inside).  Chunks are cut greedily in
+    storage order whenever the chunk's column RANGE exceeds the radix
+    window or the count hits G — on matrices whose bricks touch scattered
+    columns this shows up directly as chunk-count/padding inflation, which
+    is the measured head-to-head vs span chunking (VERDICT r1 #1)."""
+    from tpusparse.levels import Level
+
+    spr, nhl, ngrp = radix_geometry(kt, mode)
+    align = 8 * spr
+    W = S * spr
+    assert rb % ngrp == 0 and rb % 8 == 0
+    budget = W - align
+
+    rows, cols, vals = ms.coo(sub)  # storage order = interleaved ELL
+    rows = rows.astype(np.int64)
+    cols = cols.astype(np.int64)
+    row_num = ms.row_num(sub)
+    col_num = ms.col_num(sub)
+    if ms.has(Level.ROW, "original_row_of_sorted", sub):
+        rec = ms.get(Level.ROW, "original_row_of_sorted", sub)[:row_num]
+    else:
+        rec = np.arange(row_num, dtype=np.int64)
+
+    p_count = max(-(-row_num // rb), 1)
+    # deal BRICKS (8 length-sorted rows) round-robin to programs — the
+    # reference's grid-stride work distribution; within-brick interleave
+    # order is preserved by the stable sort
+    brick_of_nz = rows // 8
+    p_of_brick_all = np.arange(-(-row_num // 8) + 1, dtype=np.int64) % p_count
+    slot_of_brick_all = np.arange(-(-row_num // 8) + 1, dtype=np.int64) // p_count
+    p_of_nz = p_of_brick_all[brick_of_nz]
+    order = np.argsort(p_of_nz, kind="stable")
+    rows_s, cols_s, vals_s = rows[order], cols[order], np.asarray(vals)[order]
+    lrow_s = slot_of_brick_all[rows_s // 8] * 8 + rows_s % 8
+    starts = np.searchsorted(p_of_nz[order], np.arange(p_count + 1))
+
+    chunks: list[list[tuple[int, int, int]]] = [[] for _ in range(p_count)]
+    for p in range(p_count):
+        lo, hi = int(starts[p]), int(starts[p + 1])
+        i = lo
+        while i < hi:
+            cmin = cmax = int(cols_s[i])
+            j = i + 1
+            while j < hi and j - i < g:
+                c = int(cols_s[j])
+                nmin, nmax = min(cmin, c), max(cmax, c)
+                if nmax - nmin > budget:
+                    break
+                cmin, cmax = nmin, nmax
+                j += 1
+            chunks[p].append((cmin & ~(align - 1), i, j))
+            i = j
+
+    nc = max(max((len(c) for c in chunks), default=1), 1)
+    c0_2d = np.zeros((p_count, nc), dtype=np.int32)
+    cols_f = np.zeros((p_count, nc, g), dtype=np.int32)
+    lrow_f = np.zeros((p_count, nc, g), dtype=np.int32)
+    vals_f = np.zeros((p_count, nc, g), dtype=np.float32)
+    for p in range(p_count):
+        for ci, (c0, i, j) in enumerate(chunks[p]):
+            n = j - i
+            c0_2d[p, ci] = c0
+            cols_f[p, ci, :n] = cols_s[i:j] - c0
+            lrow_f[p, ci, :n] = lrow_s[i:j]
+            vals_f[p, ci, :n] = vals_s[i:j]
+
+    slot_of_origrow = np.full(out_rows, -1, dtype=np.int32)
+    keep = rec >= 0
+    local = np.arange(row_num, dtype=np.int64)
+    slot_local = (p_of_brick_all[local // 8] * rb
+                  + slot_of_brick_all[local // 8] * 8 + local % 8)
+    slot_of_origrow[rec[keep]] = slot_local[keep].astype(np.int32)
+
+    return RadixFormat(
+        c0=jnp.asarray(c0_2d[:, None, :]),
+        cols=jnp.asarray(cols_f),
+        lrow=jnp.asarray(lrow_f),
+        vals=jnp.asarray(vals_f),
+        slot_of_origrow=jnp.asarray(slot_of_origrow),
+        n_programs=p_count,
+        n_chunks=nc,
+        chunk_g=g,
+        rb=rb,
+        S=S,
+        kt=kt,
+        mode=mode,
+        shape=(out_rows, col_num),
+        nnz_real=int(np.count_nonzero(vals_f)),
+    )
+
+
 def with_values(fmt: RadixFormat, new_vals) -> RadixFormat:
     """Values-only update (same pattern; requires pack_radix(keep_perm=True))."""
     assert fmt.perm_of_nz is not None, "pack_radix(..., keep_perm=True) required"

@@ -44,8 +44,8 @@ from tpusparse.ops import (
 )
 
 KERNEL_FAMILIES = ("stripe_total", "nnz_segment", "segment_span", "tile_onehot",
-                   "span_onehot", "span_colsplit", "radix_span", "bucketed",
-                   "dense", "block_ell")
+                   "span_onehot", "span_colsplit", "radix_span", "brick_ell",
+                   "bucketed", "dense", "block_ell")
 BLOCKINGS = ("merge_path", "balanced", "fixed_rows")
 
 
@@ -160,6 +160,28 @@ def _build_sub_plan(ms, ex, sub: int, sched: Schedule, out_rows: int, interpret)
             return radix_spmm(fmt, x, unroll=sched.unroll, interpret=interpret)
 
         return fmt, fn
+    if sched.family == "brick_ell":
+        # the reference's headline layout: length-sort + 8-row bricks
+        # ELL-padded to the brick max + interleaved storage, chunked in
+        # stored order and run through the radix kernel (head-to-head vs
+        # span chunking with the kernel held constant)
+        from tpusparse.kernels.radix_gather import (PRECISIONS, choose_kt,
+                                                    pack_brick_ell, radix_spmm)
+        from tpusparse.ops import (EllBlockPadOperator,
+                                   InterleaveStorageOperator)
+
+        mode = sched.precision if sched.precision in PRECISIONS else "fp32x2"
+        kt = choose_kt(sched.ktile) if sched.ktile else 8
+        ex.add_and_run(FixedIntervalRowBlockingOperator(sub, Level.TBLOCK, 8))
+        ex.add_and_run(EllBlockPadOperator(sub, Level.TBLOCK))
+        ex.add_and_run(InterleaveStorageOperator(sub, Level.TBLOCK))
+        fmt = pack_brick_ell(ms, sub, out_rows=out_rows, rb=sched.rb,
+                             S=sched.sublanes, g=sched.g, kt=kt, mode=mode)
+
+        def fn(x, fmt=fmt):
+            return radix_spmm(fmt, x, unroll=sched.unroll, interpret=interpret)
+
+        return fmt, fn
     if sched.family == "tile_onehot":
         ex.add_and_run(TileOneHotImplementOperator(
             sub, rb=sched.rb, ct=sched.ct, g=sched.g,
@@ -213,7 +235,10 @@ def _build_dense_plan(mat: CooMatrix, sched: Schedule) -> SpmmPlan:
         formats=[],
         shape=mat.shape,
         meta={"schedule": sched.describe(), "n_subs": 1, "padding_rate": 1.0,
-              "operator_history": "dense"},
+              "operator_history": "dense",
+              # the densified A is the format: its HBM residency is the whole
+              # trade-off vs sparse formats and must show up in cost_summary
+              "format_bytes": int(a.size) * a.dtype.itemsize},
     )
 
 

@@ -94,6 +94,12 @@ def default_candidates(mat: CooMatrix, k: int) -> list[Schedule]:
         for rb, S, g in _radix_configs(mat.density, kt_r):
             cands.append(Schedule(family="radix_span", rb=rb, sublanes=S, g=g,
                                   unroll=4, ktile=kt_r))
+        if k <= 32:
+            # the reference's interleaved brick-ELL layout through the same
+            # kernel — measured per matrix, the tuner decides (it loses on
+            # scattered columns, see MICROBENCH/PERF.md)
+            cands.append(Schedule(family="brick_ell", sort=True, rb=1024,
+                                  sublanes=256, g=512, unroll=4, ktile=kt_r))
     # span-chunked one-hot — dominant up to K~128 (dynamic windows, ~1.1 pad)
     # needs X resident in VMEM: gate on N * xwidth(bf16 hi+lo) footprint;
     # above the limit, the column-split variant sums per-range sub-plans
