@@ -171,3 +171,20 @@ def test_brick_ell_in_candidates():
     mat = builder.power_law_coo(200, 160, avg_nnz_per_row=6.0, seed=3)
     fams = {c.family for c in default_candidates(mat, 8)}
     assert "brick_ell" in fams
+
+
+def test_tuner_full_and_budget():
+    from tpusparse.tune import default_candidates, tune
+
+    mat = builder.power_law_coo(200, 160, avg_nnz_per_row=6.0, seed=3)
+    base = default_candidates(mat, 8)
+    full = default_candidates(mat, 8, full=True)
+    assert len(full) > 2 * len(base)
+    # full sweeps unroll and precision within a family
+    spans = [c for c in full if c.family == "span_onehot"]
+    assert {c.unroll for c in spans} >= {2, 4, 8}
+    assert {c.precision for c in spans} >= {"fp32x2", "bf16"}
+    # budget caps the number of rows actually tried
+    x = np.random.default_rng(0).standard_normal((160, 8)).astype(np.float32)
+    res = tune(mat, x, budget=2, use_cache=False, iters=2)
+    assert len(res.table) == 2

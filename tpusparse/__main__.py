@@ -31,6 +31,10 @@ def main(argv=None):
     ap.add_argument("--avg-nnz", type=float, default=16.0)
     ap.add_argument("--no-validate", action="store_true")
     ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--full", action="store_true",
+                    help="exhaustive candidate grid (unroll/precision/ktile sweep)")
+    ap.add_argument("--budget", type=int, default=None,
+                    help="max candidates to time (cached winner first)")
     args = ap.parse_args(argv)
 
     from tpusparse.config import get_config, set_config
@@ -81,7 +85,8 @@ def main(argv=None):
 
     from tpusparse.tune import tune
 
-    res = tune(mat, x, validate=not args.no_validate, iters=args.iters)
+    res = tune(mat, x, validate=not args.no_validate, iters=args.iters,
+               full=args.full, budget=args.budget)
     for row in res.table:
         fam = row["schedule"]["family"] if isinstance(row.get("schedule"), dict) else "?"
         if row.get("ok"):

@@ -106,6 +106,25 @@ def run_suite(quick: bool = False, out_path: str = "BENCH_SUITE.jsonl"):
                     emit({"bench": f"layout_h2h/{name}/{fam}", "k": k,
                           "error": f"{type(e).__name__}: {e}"})
 
+    # ---- nested two-level vs flat stripe (VERDICT r1 #3: the nested
+    # schedule measured on at least one workload)
+    mat_n = workloads["uniform"]
+    xn = np.random.default_rng(7).standard_normal((mat_n.shape[1], 8)).astype(np.float32)
+    for fam in ("stripe_total", "stripe_nested"):
+        try:
+            plan = build_plan(mat_n, Schedule(family=fam, work_per_block=4096,
+                                              unroll=8))
+            np.asarray(plan(jnp.asarray(xn)))
+            sec = time_fn(plan.fn, jnp.asarray(xn), iters=5)
+            emit({
+                "bench": f"nested_h2h/uniform/{fam}", "k": 8, "nnz": mat_n.nnz,
+                "gflops": round(gflops(mat_n.nnz, 8, sec), 3),
+                "padding_rate": round(plan.meta["padding_rate"], 3),
+            })
+        except Exception as e:
+            emit({"bench": f"nested_h2h/uniform/{fam}", "k": 8,
+                  "error": f"{type(e).__name__}: {e}"})
+
     # ---- config #3: pruned-LLM unstructured bf16, K=512
     w = builder.pruned_weight_coo(4096 if quick else 8192, 4096 if quick else 8192,
                                   sparsity=0.9, seed=7)

@@ -338,3 +338,123 @@ def pack_segment(
         shape=(out_rows, ms.col_num(sub)),
         nnz_real=int(np.count_nonzero(vals)),
     )
+
+
+@dataclasses.dataclass
+class NestedStripeFormat:
+    """Two-level stripe format: TBLOCK programs containing WARP sub-blocks
+    addressed by PARENT-RELATIVE offsets (the reference's nested
+    BMTB > BMW loops with ..._relative_to_BMTB indices,
+    code_generator.cc:1655-1871 / :1287-1390).
+
+    Arrays (P tblocks, C nnz slots per tblock, Wmax warps per tblock):
+      cols  [P, 1, C]       int32  global column per nz
+      lrow  [P, 1, C]       int32  row LOCAL TO THE WARP (small ints — the
+                                   point of relative indices: narrow range)
+      vals  [P, 1, C]       f32
+      wnz   [P, 1, Wmax+1]  int32  warp first-nz offsets relative to the
+                                   tblock base (multiples of ``unroll``)
+      wrow  [P, 1, Wmax+1]  int32  warp first-row offsets relative to the
+                                   tblock's first row
+    """
+
+    cols: Any
+    lrow: Any
+    vals: Any
+    wnz: Any
+    wrow: Any
+    slot_of_origrow: Any
+    n_stripes: int
+    stripe_nnz: int
+    n_warps: int
+    max_rows_per_stripe: int
+    shape: tuple[int, int]
+    nnz_real: int
+
+    @property
+    def padding_rate(self) -> float:
+        return self.n_stripes * self.stripe_nnz / max(self.nnz_real, 1)
+
+    def memory_bytes(self) -> int:
+        return sum(np.asarray(a).nbytes
+                   for a in (self.cols, self.lrow, self.vals, self.wnz, self.wrow))
+
+
+def pack_stripe_nested(
+    ms: MetaDataSet,
+    sub: int,
+    *,
+    out_rows: int,
+    unroll: int = 8,
+) -> NestedStripeFormat:
+    """Pack a TBLOCK⊃WARP two-level blocking into NestedStripeFormat.
+
+    Preconditions: WARP and TBLOCK both have first_row/first_nz_indices with
+    TBLOCK boundaries nesting the WARP ones (GroupChildrenBlockingOperator),
+    plus the parent-relative arrays (RelativeIndexOperator) and child
+    offsets (ChildOffsetsOperator).  Each warp's nz run is padded to a
+    multiple of ``unroll`` so the inner loop can unroll without a tail."""
+    w_rows = ms.get(Level.WARP, "first_row_indices", sub).astype(np.int64)
+    w_nzs = ms.get(Level.WARP, "first_nz_indices", sub).astype(np.int64)
+    p_rows = ms.get(Level.TBLOCK, "first_row_indices", sub).astype(np.int64)
+    p_nzs = ms.get(Level.TBLOCK, "first_nz_indices", sub).astype(np.int64)
+    offs = ms.get(Level.TBLOCK, "first_BMW_indices", sub).astype(np.int64)
+    # parent-relative arrays must have been emitted (RelativeIndexOperator)
+    assert ms.has(Level.WARP, "first_nz_indices_relative_to_BMTB", sub), \
+        "run RelativeIndexOperator(WARP, TBLOCK) first"
+    rows, cols, vals = ms.coo(sub)
+
+    p = p_nzs.size - 1
+    wmax = int(np.diff(offs).max()) if p else 1
+    wsz = np.diff(w_nzs)
+    wsz_pad = -(-wsz // unroll) * unroll
+    # per-tblock padded nnz = sum of its warps' padded sizes
+    c_per_p = np.add.reduceat(wsz_pad, offs[:-1]) if wsz_pad.size else np.zeros(p, np.int64)
+    c = int(c_per_p.max()) if p else unroll
+    c = max(-(-c // unroll) * unroll, unroll)
+
+    cols_a = np.zeros((p, 1, c), dtype=np.int32)
+    lrow_a = np.zeros((p, 1, c), dtype=np.int32)
+    vals_a = np.zeros((p, 1, c), dtype=np.float32)
+    wnz_a = np.zeros((p, 1, wmax + 1), dtype=np.int32)
+    wrow_a = np.zeros((p, 1, wmax + 1), dtype=np.int32)
+    for b in range(p):
+        pos = 0
+        wlo, whi = int(offs[b]), int(offs[b + 1])
+        for wi, w in enumerate(range(wlo, whi)):
+            lo, hi = int(w_nzs[w]), int(w_nzs[w + 1])
+            nreal = hi - lo
+            wnz_a[b, 0, wi] = pos
+            wrow_a[b, 0, wi] = int(w_rows[w] - p_rows[b])
+            cols_a[b, 0, pos:pos + nreal] = cols[lo:hi]
+            lrow_a[b, 0, pos:pos + nreal] = rows[lo:hi] - w_rows[w]
+            vals_a[b, 0, pos:pos + nreal] = vals[lo:hi]
+            if nreal:  # padding repeats the warp's last col (index stays valid)
+                padn = int(wsz_pad[w] - nreal)
+                cols_a[b, 0, pos + nreal:pos + nreal + padn] = cols[hi - 1]
+            pos += int(wsz_pad[w])
+        wnz_a[b, 0, whi - wlo:] = pos
+        wrow_a[b, 0, whi - wlo:] = int(p_rows[b + 1] - p_rows[b])
+
+    rb = int(np.diff(p_rows).max()) if p else 1
+    rb = max(rb, 1)
+
+    row_num = ms.row_num(sub)
+    local_rows = np.arange(row_num, dtype=np.int64)
+    blk = np.clip(np.searchsorted(p_rows, local_rows, side="right") - 1, 0, p - 1)
+    slot_of_local = blk * rb + (local_rows - p_rows[blk])
+    if ms.has(Level.ROW, "original_row_of_sorted", sub):
+        rec = ms.get(Level.ROW, "original_row_of_sorted", sub)[:row_num]
+    else:
+        rec = local_rows
+    slot_of_origrow = np.full(out_rows, -1, dtype=np.int64)
+    keep = rec >= 0
+    slot_of_origrow[rec[keep]] = slot_of_local[keep]
+
+    return NestedStripeFormat(
+        cols=cols_a, lrow=lrow_a, vals=vals_a, wnz=wnz_a, wrow=wrow_a,
+        slot_of_origrow=slot_of_origrow.astype(np.int32),
+        n_stripes=p, stripe_nnz=c, n_warps=wmax, max_rows_per_stripe=rb,
+        shape=(out_rows, ms.col_num(sub)),
+        nnz_real=int(np.count_nonzero(vals_a)),
+    )

@@ -146,3 +146,90 @@ def stripe_spmm(
     slot = jnp.where(slot < 0, oob, slot)
     y = jnp.take(y_slots, slot, axis=0, mode="fill", fill_value=0)
     return y[:, :k]
+
+
+def _stripe_nested_kernel(cols_ref, lrow_ref, vals_ref, wnz_ref, wrow_ref,
+                          x_ref, y_ref, *, n_warps, unroll):
+    """Two-level loop: outer over WARP sub-blocks, inner over the warp's nz
+    run — the reference's nested for-structure with parent-relative child
+    indices (code_generator.cc:1655-1871); row = warp base + warp-local
+    lrow recovers the absolute position (fused relative-index recursion,
+    :1287-1390)."""
+    y_ref[...] = jnp.zeros_like(y_ref)
+    acc_dtype = y_ref.dtype
+
+    def warp_body(w, _):
+        lo = wnz_ref[0, 0, w]
+        hi = wnz_ref[0, 0, w + 1]
+        row0 = wrow_ref[0, 0, w]
+
+        def step(i):
+            c = cols_ref[0, 0, i]
+            r = row0 + lrow_ref[0, 0, i]
+            v = vals_ref[0, 0, i].astype(acc_dtype)
+            y_ref[0, pl.ds(r, 1), :] += v * x_ref[pl.ds(c, 1), :].astype(acc_dtype)
+
+        def inner(j, _):
+            base = lo + j * unroll
+            for u in range(unroll):
+                step(base + u)
+            return 0
+
+        # warp runs are padded to ``unroll`` multiples at pack time
+        jax.lax.fori_loop(0, (hi - lo) // unroll, inner, 0)
+        return 0
+
+    jax.lax.fori_loop(0, n_warps, warp_body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "n_stripes", "stripe_nnz", "n_warps", "rb", "ktile", "unroll", "interpret"))
+def _stripe_nested_call(cols, lrow, vals, wnz, wrow, x, *, n_stripes,
+                        stripe_nnz, n_warps, rb, ktile, unroll, interpret):
+    n = x.shape[0]
+    k = x.shape[1]
+    kt = cdiv(k, ktile)
+    kernel = functools.partial(_stripe_nested_kernel, n_warps=n_warps,
+                               unroll=unroll)
+    y_slots = pl.pallas_call(
+        kernel,
+        grid=(n_stripes, kt),
+        out_shape=jax.ShapeDtypeStruct((n_stripes, rb, kt * ktile), jnp.float32),
+        in_specs=[
+            pl.BlockSpec((1, 1, stripe_nnz), lambda p, t: (p, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, stripe_nnz), lambda p, t: (p, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, stripe_nnz), lambda p, t: (p, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, n_warps + 1), lambda p, t: (p, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, n_warps + 1), lambda p, t: (p, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((n, ktile), lambda p, t: (0, t), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, rb, ktile), lambda p, t: (p, 0, t), memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(cols, lrow, vals, wnz, wrow, x)
+    return y_slots.reshape(n_stripes * rb, kt * ktile)
+
+
+def stripe_nested_spmm(fmt, x, *, ktile=None, unroll: int = 8,
+                       interpret: bool | None = None):
+    """Y = A . X with A in NestedStripeFormat (two-level TBLOCK⊃WARP)."""
+    if interpret is None:
+        interpret = kernel_backend_interpret()
+    m, n_cols = fmt.shape
+    k = x.shape[1]
+    assert x.shape[0] == n_cols
+    if ktile is None:
+        ktile = k if k <= 128 else 128
+    if k % ktile:
+        x = jnp.pad(x, ((0, 0), (0, ktile - k % ktile)))
+    x = pad_dense_rows(x, -(-x.shape[0] // 8) * 8)
+    y_slots = _stripe_nested_call(
+        fmt.cols, fmt.lrow, fmt.vals, fmt.wnz, fmt.wrow, x,
+        n_stripes=fmt.n_stripes, stripe_nnz=fmt.stripe_nnz,
+        n_warps=fmt.n_warps, rb=fmt.max_rows_per_stripe, ktile=ktile,
+        unroll=unroll, interpret=interpret,
+    )
+    slot = jnp.asarray(fmt.slot_of_origrow)
+    oob = y_slots.shape[0]
+    slot = jnp.where(slot < 0, oob, slot)
+    y = jnp.take(y_slots, slot, axis=0, mode="fill", fill_value=0)
+    return y[:, :k]

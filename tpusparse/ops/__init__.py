@@ -26,6 +26,8 @@ from tpusparse.ops.distributing import (
     MergePathBlockingOperator,
     RelativeIndexOperator,
     ChildOffsetsOperator,
+    GroupChildrenBlockingOperator,
+    MergeAdjacentBlocksOperator,
 )
 from tpusparse.ops.implementing import (
     UniformBlockPadOperator,
@@ -54,6 +56,8 @@ __all__ = [
     "BalancedNnzRowBlockingOperator",
     "FixedNnzBlockingOperator",
     "MergePathBlockingOperator",
+    "GroupChildrenBlockingOperator",
+    "MergeAdjacentBlocksOperator",
     "RelativeIndexOperator",
     "ChildOffsetsOperator",
     "UniformBlockPadOperator",

@@ -164,3 +164,50 @@ class ChildOffsetsOperator(BasicOperator):
     def run(self, ms: MetaDataSet, ctx: OperatorContext) -> None:
         T.add_child_offsets(ms, self.sub_matrix_id, self.parent, self.child)
         T.add_block_sizes(ms, self.sub_matrix_id, self.parent, self.child)
+
+
+class GroupChildrenBlockingOperator(BasicOperator):
+    """Form parent blocks by grouping consecutive child blocks (the
+    reference's BMTB-over-BMW nesting, derived bottom-up so the boundaries
+    nest exactly)."""
+
+    stage = Stage.DISTRIBUTING
+    name = "group_children_blocking"
+
+    def __init__(self, sub_matrix_id=0, parent: Level = Level.TBLOCK,
+                 child: Level = Level.WARP, children_per_parent: int = 8):
+        super().__init__(sub_matrix_id)
+        self.parent = parent
+        self.child = child
+        self.children_per_parent = children_per_parent
+
+    def is_valid_according_to_metadata(self, ms: MetaDataSet) -> bool:
+        return super().is_valid_according_to_metadata(ms) and ms.has(
+            self.child, "first_nz_indices", self.sub_matrix_id
+        )
+
+    def run(self, ms: MetaDataSet, ctx: OperatorContext) -> None:
+        T.block_group_children(ms, self.sub_matrix_id, self.parent,
+                               self.child, self.children_per_parent)
+
+
+class MergeAdjacentBlocksOperator(BasicOperator):
+    """Coalesce consecutive blocks under an nnz budget (reference
+    merge-thread steps, get_begin_*_after_merge_thread)."""
+
+    stage = Stage.DISTRIBUTING
+    name = "merge_adjacent_blocks"
+
+    def __init__(self, sub_matrix_id=0, level: Level = Level.WARP,
+                 max_nnz: int = 1024):
+        super().__init__(sub_matrix_id)
+        self.level = level
+        self.max_nnz = max_nnz
+
+    def is_valid_according_to_metadata(self, ms: MetaDataSet) -> bool:
+        return super().is_valid_according_to_metadata(ms) and ms.has(
+            self.level, "first_nz_indices", self.sub_matrix_id
+        )
+
+    def run(self, ms: MetaDataSet, ctx: OperatorContext) -> None:
+        T.merge_adjacent_blocks(ms, self.sub_matrix_id, self.level, self.max_nnz)

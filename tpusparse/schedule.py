@@ -107,7 +107,48 @@ def default_schedule(mat: CooMatrix, k: int | None = None) -> Schedule:
 
 
 def _build_sub_plan(ms, ex, sub: int, sched: Schedule, out_rows: int, interpret):
-    """Run distributing+implementing for one sub-matrix; return (format, fn)."""
+    """Run distributing+implementing for one sub-matrix; return (format, fn).
+
+    Launch geometry (K tile, unroll/coarsening) flows through the metadata
+    set: GridBlockOperator writes GLOBAL ``ktile``/``k_unroll`` and the
+    kernels read them back — the reference's grid_block_operator ->
+    set_thread_grid path, not a side channel."""
+    from tpusparse.ops import GridBlockOperator
+
+    ex.add_and_run(GridBlockOperator(sub, ktile=sched.ktile, unroll=sched.unroll))
+    kt_meta = (int(ms.get(Level.GLOBAL, "ktile", sub))
+               if ms.has(Level.GLOBAL, "ktile", sub) else None)
+    unroll_meta = int(ms.get(Level.GLOBAL, "k_unroll", sub))
+    sched = dataclasses.replace(sched, ktile=kt_meta, unroll=unroll_meta)
+    if sched.family == "stripe_nested":
+        # two-level TBLOCK⊃WARP schedule: balanced WARP blocking, small
+        # warps coalesced (merge-thread), warps grouped into TBLOCK
+        # programs, child offsets + parent-relative indices packed into the
+        # device format; the kernel loops warps inside each program
+        from tpusparse.format import pack_stripe_nested
+        from tpusparse.kernels.stripe_gather import stripe_nested_spmm
+        from tpusparse.ops import (ChildOffsetsOperator,
+                                   GroupChildrenBlockingOperator,
+                                   MergeAdjacentBlocksOperator,
+                                   RelativeIndexOperator)
+
+        work = max(sched.work_per_block // 8, 8)
+        ex.add_and_run(BalancedNnzRowBlockingOperator(sub, Level.WARP, work))
+        ex.add_and_run(MergeAdjacentBlocksOperator(sub, Level.WARP, work))
+        ex.add_and_run(GroupChildrenBlockingOperator(
+            sub, Level.TBLOCK, Level.WARP, children_per_parent=8))
+        ex.add_and_run(ChildOffsetsOperator(sub, Level.TBLOCK, Level.WARP))
+        ex.add_and_run(RelativeIndexOperator(sub, Level.WARP, Level.TBLOCK))
+        ex.add_and_run(ThreadTotalReduceOperator(sub, Level.TBLOCK))
+        fmt = pack_stripe_nested(ms, sub, out_rows=out_rows,
+                                 unroll=max(sched.unroll, 1))
+
+        def fn(x, fmt=fmt):
+            return stripe_nested_spmm(fmt, x, ktile=sched.ktile,
+                                      unroll=max(sched.unroll, 1),
+                                      interpret=interpret)
+
+        return fmt, fn
     if sched.family == "stripe_total":
         if sched.blocking == "merge_path":
             ex.add_and_run(MergePathBlockingOperator(sub, Level.TBLOCK, sched.work_per_block))

@@ -30,9 +30,11 @@ from tpusparse.transforms.block import (
     block_fixed_nnz,
     block_merge_path,
     block_fixed_interval_cols,
+    block_group_children,
     add_relative_to_parent,
     add_child_offsets,
     add_block_sizes,
+    merge_adjacent_blocks,
 )
 from tpusparse.transforms.pad import (
     padding_rate,
@@ -64,9 +66,11 @@ __all__ = [
     "block_fixed_nnz",
     "block_merge_path",
     "block_fixed_interval_cols",
+    "block_group_children",
     "add_relative_to_parent",
     "add_child_offsets",
     "add_block_sizes",
+    "merge_adjacent_blocks",
     "pad_rows_to_multiple",
     "pad_row_nnz_to_multiple",
     "pad_block_rows_to_max",

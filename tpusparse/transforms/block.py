@@ -226,6 +226,25 @@ def add_block_sizes(ms: MetaDataSet, sub: int, parent: Level, child: Level) -> n
     return sizes
 
 
+def block_group_children(
+    ms: MetaDataSet, sub: int, parent: Level, child: Level,
+    children_per_parent: int
+) -> int:
+    """Form ``parent`` blocks by grouping every ``children_per_parent``
+    consecutive ``child`` blocks (the reference's BMTB-over-BMWs nesting:
+    get_begin_BMWs_of_BMTB_after_blocking — here derived bottom-up, which
+    guarantees exact nesting of the boundaries)."""
+    assert children_per_parent > 0
+    c_rows = ms.get(child, "first_row_indices", sub).astype(np.int64)
+    c_nzs = ms.get(child, "first_nz_indices", sub).astype(np.int64)
+    idx = np.arange(0, c_nzs.size - 1, children_per_parent, dtype=np.int64)
+    idx = np.append(idx, c_nzs.size - 1)
+    _emit(ms, sub, parent, c_rows[idx], c_nzs[idx],
+          f"block_group_children[{parent.block_name}<-{child.block_name}]",
+          children_per_parent=children_per_parent)
+    return idx.size - 1
+
+
 def merge_adjacent_blocks(
     ms: MetaDataSet, sub: int, level: Level, max_nnz: int
 ) -> int:

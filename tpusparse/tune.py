@@ -78,9 +78,12 @@ def _radix_configs(density: float, kt: int) -> list[tuple[int, int, int]]:
     return out[:3]
 
 
-def default_candidates(mat: CooMatrix, k: int) -> list[Schedule]:
+def default_candidates(mat: CooMatrix, k: int, *, full: bool = False) -> list[Schedule]:
     """Heuristic candidate set (the reference's 7 pipelines + param grid,
-    pruned by matrix statistics)."""
+    pruned by matrix statistics).  ``full=True`` sweeps the parameter grid
+    the reference's commented-out schedules cover — unroll / precision /
+    denser (rb, S|ct, g) points and the skew families unconditionally
+    (token_test.cc:1625-1847)."""
     from tpusparse.kernels.radix_gather import choose_kt
 
     lengths = mat.row_lengths()
@@ -91,10 +94,20 @@ def default_candidates(mat: CooMatrix, k: int) -> list[Schedule]:
     # radix lane-packed one-hot — champion at K <= 32 (3-dot decomposition)
     kt_r = choose_kt(k)
     if k <= 128 and mat.shape[1] * kt_r * 4 <= 6 * 1024 * 1024:
-        for rb, S, g in _radix_configs(mat.density, kt_r):
-            cands.append(Schedule(family="radix_span", rb=rb, sublanes=S, g=g,
-                                  unroll=4, ktile=kt_r))
-        if k <= 32:
+        radix_cfgs = _radix_configs(mat.density, kt_r)
+        if full:
+            radix_cfgs = list(dict.fromkeys(
+                radix_cfgs + [(rb, S, g) for rb in (512, 1024, 2048)
+                              for S in (64, 128, 256) for g in (256, 512)]))
+        for rb, S, g in radix_cfgs:
+            for u in ((2, 4, 8) if full else (4,)):
+                cands.append(Schedule(family="radix_span", rb=rb, sublanes=S,
+                                      g=g, unroll=u, ktile=kt_r))
+            if full:
+                cands.append(Schedule(family="radix_span", rb=rb, sublanes=S,
+                                      g=g, unroll=4, ktile=kt_r,
+                                      precision="bf16"))
+        if k <= 32 or full:
             # the reference's interleaved brick-ELL layout through the same
             # kernel — measured per matrix, the tuner decides (it loses on
             # scattered columns, see MICROBENCH/PERF.md)
@@ -106,23 +119,40 @@ def default_candidates(mat: CooMatrix, k: int) -> list[Schedule]:
     x_bytes = mat.shape[1] * 2 * min(k, 128) * 2
     if k <= 128:
         if x_bytes <= 6 * 1024 * 1024:
-            for rb, ct, g in _span_configs(mat.density):
-                cands.append(Schedule(family="span_onehot", rb=rb, ct=ct, g=g, unroll=4))
+            span_cfgs = _span_configs(mat.density)
+            unrolls = (2, 4, 8) if full else (4,)
+            precisions = ("fp32x2", "bf16") if full else ("fp32x2",)
+            for rb, ct, g in span_cfgs:
+                for u in unrolls:
+                    for p in precisions:
+                        cands.append(Schedule(family="span_onehot", rb=rb,
+                                              ct=ct, g=g, unroll=u, precision=p))
         else:
             s = -(-x_bytes // (4 * 1024 * 1024))
             for rb, ct, g in _span_configs(mat.density)[:2]:
                 cands.append(Schedule(family="span_colsplit", col_split=s,
                                       rb=rb, ct=ct, g=g, unroll=4))
     # MXU one-hot family — primary throughput path at larger K
-    for rb, ct, g in ((1024, 1024, 512), (1024, 512, 256), (512, 1024, 256)):
-        cands.append(Schedule(family="tile_onehot", rb=rb, ct=ct, g=g, unroll=4))
+    tile_cfgs = ((1024, 1024, 512), (1024, 512, 256), (512, 1024, 256))
+    for rb, ct, g in tile_cfgs:
+        for kt in ((None, 64, 128) if full and k > 128 else (None,)):
+            cands.append(Schedule(family="tile_onehot", rb=rb, ct=ct, g=g,
+                                  unroll=4, ktile=kt))
     # stripe total family (thread/warp/block_total analogues)
-    for work in (512, 2048):
+    for work in ((512, 1024, 2048, 4096) if full else (512, 2048)):
         cands.append(Schedule(family="stripe_total", blocking="merge_path",
                               work_per_block=work, unroll=8))
+    if full:
+        cands.append(Schedule(family="stripe_total", blocking="balanced",
+                              work_per_block=1024, unroll=8))
+        cands.append(Schedule(family="stripe_total", blocking="fixed_rows",
+                              row_interval=256, unroll=8))
+        # two-level TBLOCK⊃WARP nesting with parent-relative indices
+        cands.append(Schedule(family="stripe_nested", work_per_block=4096,
+                              unroll=8))
     # nnz-direction + segment combine (bitmap/segment analogues) — wins on
     # extreme skew where row-aligned stripes pad badly
-    if skewed:
+    if skewed or full:
         if k <= 128:
             cands.append(Schedule(family="segment_span", work_per_block=4096,
                                   ct=512, g=256, unroll=4))
@@ -132,13 +162,14 @@ def default_candidates(mat: CooMatrix, k: int) -> list[Schedule]:
     # gather exceeds the dense product's FLOPs; gate on densified HBM size
     # (densification happens on device for large A)
     m, n = mat.shape
-    if m * n * 2 <= 4 * 1024 ** 3 and (mat.density > 0.02 or k >= 256):
+    if m * n * 2 <= 4 * 1024 ** 3 and (mat.density > 0.02 or k >= 256 or full):
         cands.append(Schedule(family="dense", precision="bf16"))
     # block-ELL MXU path — candidate when nz cluster into dense 128-blocks
     br = mat.rows >> 7
     bc = mat.cols >> 7
     blocks = np.unique(br * (-(-n // 128)) + bc).size
-    if blocks and mat.nnz / (blocks * 128 * 128) > 0.25:
+    if blocks and (mat.nnz / (blocks * 128 * 128) > 0.25
+                   or (full and m * n * 2 <= 4 * 1024 ** 3)):
         cands.append(Schedule(family="block_ell", precision="bf16", row_interval=128))
     return cands
 
@@ -166,7 +197,14 @@ def tune(
     results_path: str | None = None,
     use_cache: bool = True,
     interpret: bool | None = None,
+    full: bool = False,
+    budget: int | None = None,
 ) -> TuneResult:
+    """Enumerate + time candidates, keep the min (token_test.cc min-time).
+
+    ``full=True`` sweeps the exhaustive parameter grid; ``budget`` caps the
+    number of candidates tried (cached winner first, so re-tuning under a
+    small budget re-validates the known winner and a few challengers)."""
     from tpusparse.bench.harness import gflops as _gflops, time_fn
     from tpusparse.oracle import check_result, spmm_reference
 
@@ -179,7 +217,7 @@ def tune(
     cache_file = os.path.join(cfg.cache_dir, f"tune_{sig}_k{k}.json")
 
     if candidates is None:
-        candidates = default_candidates(mat, k)
+        candidates = default_candidates(mat, k, full=full)
         if use_cache and os.path.exists(cache_file):
             try:
                 with open(cache_file) as f:
@@ -187,8 +225,16 @@ def tune(
                 candidates = [cached] + [c for c in candidates if c != cached]
             except Exception:
                 pass
+    if budget is not None:
+        candidates = list(candidates)[:max(budget, 1)]
 
     want = spmm_reference(mat, np.asarray(x, dtype=np.float64)) if validate else None
+    try:
+        from tpusparse.bench.microbench import roofline_bandwidth_gbs
+
+        bw = roofline_bandwidth_gbs()
+    except Exception:
+        bw = 0.0
     table: list[dict] = []
     best = None
     for sched in candidates:
@@ -211,7 +257,16 @@ def tune(
             g = _gflops(mat.nnz, k, sec, cfg.float_rate)
             if g > cfg.gflops_up_bound:  # plausibility guard (executor.cc:51-55)
                 raise RuntimeError(f"implausible {g:.1f} GFLOP/s > bound")
-            row.update(seconds=sec, gflops=g, padding_rate=plan.meta["padding_rate"], ok=True)
+            fmt_bytes = int(plan.meta.get("format_bytes", 0))
+            for f in plan.formats:
+                mb = getattr(f, "memory_bytes", 0)
+                fmt_bytes += mb() if callable(mb) else mb
+            row.update(seconds=sec, gflops=g, padding_rate=plan.meta["padding_rate"],
+                       format_bytes=fmt_bytes, ok=True)
+            if bw:
+                m_, n_ = mat.shape
+                traffic = fmt_bytes + (n_ * k + m_ * k) * 4
+                row["pct_roofline"] = round(100 * traffic / sec / 1e9 / bw, 1)
             if best is None or sec < best[1]:
                 best = (plan, sec, sched)
         except Exception as e:
