@@ -107,3 +107,43 @@ def test_graph_config_hooks():
         # max_iter truncates traversal
         level = bfs(_path_graph(10), source=0)
         assert level.max() == 3 and np.sum(level >= 0) == 4
+
+
+def test_matvec_plan_semiring_hook():
+    """The calculation_method metadata (CalculationMethodChooseOperator) is
+    what selects the plan path — the reference's semiring hook, now live."""
+    import jax.numpy as jnp
+
+    from tpusparse import graph
+    from tpusparse.io import builder
+
+    mat = builder.power_law_coo(200, 200, avg_nnz_per_row=5.0, seed=2)
+    x = np.random.default_rng(0).standard_normal(200).astype(np.float32)
+    fn = graph.matvec_plan(mat, semiring="plus_times")
+    assert fn.meta["calculation_method"] == 0
+    assert fn.meta["method"] == "radix"  # packed champion path at this size
+    y = np.asarray(fn(jnp.asarray(x)))
+    want = np.zeros(200)
+    np.add.at(want, mat.rows, np.asarray(mat.vals) * x[mat.cols])
+    np.testing.assert_allclose(y, want, rtol=1e-2, atol=1e-4)
+    # or_and: threshold of the counting matvec
+    fb = graph.matvec_plan(mat, semiring="or_and")
+    assert fb.meta["calculation_method"] == 2
+    f0 = np.zeros(200, np.float32); f0[3] = 1.0
+    got = np.asarray(fb(jnp.asarray(f0)))
+    wantb = np.zeros(200)
+    np.add.at(wantb, mat.rows, (np.asarray(mat.vals)[...] != 0) * (f0[mat.cols] != 0))
+    np.testing.assert_array_equal(got > 0, wantb > 0)
+
+
+def test_spgemm_device_resparsify_matches_scipy_style():
+    from tpusparse.io import builder
+    from tpusparse.spgemm import spgemm
+
+    a = builder.power_law_coo(150, 120, avg_nnz_per_row=4.0, seed=5)
+    b = builder.power_law_coo(120, 200, avg_nnz_per_row=4.0, seed=6)
+    c = spgemm(a, b, tile_cols=64)
+    want = a.to_dense(np.float64) @ b.to_dense(np.float64)
+    got = c.to_dense(np.float64)
+    # default plan precision is fp32x2 (~2e-3 relative class)
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=1e-5)

@@ -202,6 +202,64 @@ def run_suite(quick: bool = False, out_path: str = "BENCH_SUITE.jsonl"):
         "gnnz_per_s": round(mvs.nnz / sec / 1e9, 3),
     })
 
+    # ---- graph algorithms through the packed matvec plan (VERDICT r1 #6)
+    from tpusparse import graph
+
+    gm = builder.power_law_coo(size, size, avg_nnz_per_row=16.0, seed=11)
+    try:
+        fn = graph.matvec_plan(gm, semiring="plus_times")
+        xg = jnp.asarray(np.random.default_rng(8).standard_normal(size), jnp.float32)
+        np.asarray(fn(xg))
+        sec = time_fn(fn, xg, iters=10)
+        emit({
+            "bench": "graph_matvec/plus_times", "nnz": gm.nnz,
+            "method": fn.meta["method"],
+            "gnnz_per_s": round(gm.nnz / sec / 1e9, 3),
+        })
+        import time as _t
+
+        t0 = _t.time()
+        r = graph.pagerank(gm, max_iter=20, tol=0.0)
+        pr_sec = _t.time() - t0
+        emit({
+            "bench": "graph_pagerank", "nnz": gm.nnz, "iters": 20,
+            "seconds": round(pr_sec, 3),
+            "edges_per_s": round(20 * gm.nnz / pr_sec / 1e9, 3),
+            "checksum": float(r.sum()),
+        })
+        t0 = _t.time()
+        lv = graph.bfs(gm, 0, max_iter=32)
+        bfs_sec = _t.time() - t0
+        emit({
+            "bench": "graph_bfs", "nnz": gm.nnz,
+            "seconds": round(bfs_sec, 3),
+            "reached": int((lv >= 0).sum()),
+        })
+    except Exception as e:
+        emit({"bench": "graph", "error": f"{type(e).__name__}: {e}"})
+
+    # ---- SpGEMM through the tuned A-plan, device-side re-sparsify
+    from tpusparse.spgemm import spgemm
+
+    try:
+        sa = builder.power_law_coo(4096, 4096, avg_nnz_per_row=8.0, seed=12)
+        sb = builder.power_law_coo(4096, 4096, avg_nnz_per_row=8.0, seed=13)
+        import time as _t
+
+        t0 = _t.time()
+        c1 = spgemm(sa, sb)
+        sg_sec = _t.time() - t0
+        # FLOP count for SpGEMM = 2 * sum over A nz of nnz(B row)
+        brow = np.bincount(sb.rows, minlength=4096)
+        flops = 2.0 * brow[sa.cols].sum()
+        emit({
+            "bench": "spgemm_powerlaw_4k", "nnz_a": sa.nnz, "nnz_b": sb.nnz,
+            "nnz_c": c1.nnz, "seconds": round(sg_sec, 3),
+            "gflops": round(flops / sg_sec / 1e9, 3),
+        })
+    except Exception as e:
+        emit({"bench": "spgemm_powerlaw_4k", "error": f"{type(e).__name__}: {e}"})
+
     with open(out_path, "a") as f:
         for r in rows:
             f.write(json.dumps(r) + "\n")

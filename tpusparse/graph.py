@@ -61,6 +61,73 @@ def semiring_spmv(mat: CooMatrix, x, semiring: str | None = None):
     return _semiring_spmv(rows, cols, vals, x, semiring=semiring, m=mat.shape[0])
 
 
+def matvec_plan(mat: CooMatrix, semiring: str = "plus_times",
+                vals: np.ndarray | None = None):
+    """Packed repeated-matvec plan for the iterative drivers.
+
+    Runs CalculationMethodChooseOperator so ``calculation_method`` lives in
+    the metadata set (the reference's semiring hook,
+    operator/calculation_method_choose_operator.cc) and the plan is chosen
+    FROM the metadata, then packs the matrix ONCE:
+
+      plus_times  radix kt=1 kernel (the SpMV champion) when the packed x
+                  fits VMEM — pack cost amortizes over the iterations
+      or_and      plus_times on 0/1 values + a >0 threshold (counts and
+                  boolean OR agree for non-negative values; exact in f32
+                  below 2^24 per row)
+      min_plus    XLA segment_min (the MXU's dot cannot implement min)
+
+    Returns ``fn(x[N] f32) -> y[M] f32`` usable inside lax.while_loop."""
+    from tpusparse.levels import Level
+    from tpusparse.meta.set import create_init_metadata_set
+    from tpusparse.ops import CalculationMethodChooseOperator, OperatorExecutor
+
+    assert semiring in SEMIRINGS, semiring
+    m, n = mat.shape
+    use_vals = np.asarray(mat.vals if vals is None else vals, np.float32)
+    ms = create_init_metadata_set(mat)
+    ex = OperatorExecutor(ms)
+    ex.add_and_run(CalculationMethodChooseOperator(
+        0, method="plus_times" if semiring == "plus_times" else
+        ("or_and" if semiring == "or_and" else "min_plus")))
+    method_code = int(ms.get(Level.GLOBAL, "calculation_method", 0))
+
+    if method_code in (0, 2) and n * 4 <= 6 * 1024 * 1024:  # plus_times | or_and
+        from tpusparse.kernels.radix_gather import pack_radix, radix_spmm
+
+        v = (use_vals != 0).astype(np.float32) if method_code == 2 else use_vals
+        fmt = pack_radix(CooMatrix(mat.rows, mat.cols, v, mat.shape),
+                         rb=1024, S=128, g=512, kt=1, mode="fp32x2")
+
+        if method_code == 2:
+            def fn(x):
+                y = radix_spmm(fmt, x[:, None])[:, 0]
+                return (y > 0).astype(jnp.float32)
+        else:
+            def fn(x):
+                return radix_spmm(fmt, x[:, None])[:, 0]
+
+        fn.meta = {"method": "radix", "calculation_method": method_code,
+                   "padding_rate": fmt.padding_rate}
+        return fn
+
+    rows = jnp.asarray(mat.rows, jnp.int32)
+    cols = jnp.asarray(mat.cols, jnp.int32)
+    v = jnp.asarray(use_vals)
+
+    def fn(x):
+        if method_code == 2:
+            y = _semiring_spmv(rows, cols, (v != 0).astype(jnp.float32), x,
+                               semiring="plus_times", m=m)
+            return (y > 0).astype(jnp.float32)
+        return _semiring_spmv(
+            rows, cols, v, x,
+            semiring="plus_times" if method_code == 0 else "min_plus", m=m)
+
+    fn.meta = {"method": "segment", "calculation_method": method_code}
+    return fn
+
+
 def bfs(mat: CooMatrix, source: int, max_iter: int | None = None) -> np.ndarray:
     """Level array (-1 = unreachable) by frontier propagation with or_and.
 
@@ -72,9 +139,9 @@ def bfs(mat: CooMatrix, source: int, max_iter: int | None = None) -> np.ndarray:
     assert mat.shape[0] == mat.shape[1], "BFS needs a square adjacency"
     if max_iter is None:
         max_iter = min(get_config().graph_max_iter, n)
-    rows = jnp.asarray(mat.rows, jnp.int32)
-    cols = jnp.asarray(mat.cols, jnp.int32)
-    ones = jnp.ones(mat.nnz, dtype=bool)
+    # packed or_and matvec: the format packs once, every frontier step is
+    # the tuned-kernel path (VERDICT r1 #6 — iteration amortizes the pack)
+    fn = matvec_plan(mat, semiring="or_and")
 
     def cond(state):
         level, frontier, it = state
@@ -82,13 +149,12 @@ def bfs(mat: CooMatrix, source: int, max_iter: int | None = None) -> np.ndarray:
 
     def body(state):
         level, frontier, it = state
-        nxt = _semiring_spmv(rows, cols, ones, frontier, semiring="or_and", m=n)
-        nxt = jnp.logical_and(nxt, level < 0)
+        nxt = jnp.logical_and(fn(frontier) > 0, level < 0)
         level = jnp.where(nxt, it + 1, level)
-        return level, nxt, it + 1
+        return level, nxt.astype(jnp.float32), it + 1
 
     level0 = jnp.full((n,), -1, jnp.int32).at[source].set(0)
-    frontier0 = jnp.zeros((n,), bool).at[source].set(True)
+    frontier0 = jnp.zeros((n,), jnp.float32).at[source].set(1.0)
     level, _, _ = jax.lax.while_loop(cond, body, (level0, frontier0, jnp.int32(0)))
     return np.asarray(level)
 
@@ -108,9 +174,10 @@ def pagerank(
     # out-degree of v = number of entries with col v (push orientation)
     deg = np.bincount(mat.cols, minlength=n).astype(np.float32)
     inv_deg = np.where(deg > 0, 1.0 / np.maximum(deg, 1), 0.0)
-    rows = jnp.asarray(mat.rows, jnp.int32)
-    cols = jnp.asarray(mat.cols, jnp.int32)
-    vals = jnp.asarray(np.ones(mat.nnz, np.float32) * inv_deg[mat.cols])
+    # transition weights packed ONCE into the plus_times matvec plan; each
+    # power iteration runs the tuned kernel path
+    fn = matvec_plan(mat, semiring="plus_times",
+                     vals=np.ones(mat.nnz, np.float32) * inv_deg[mat.cols])
     dangling = jnp.asarray(deg == 0)
 
     def cond(state):
@@ -119,7 +186,7 @@ def pagerank(
 
     def body(state):
         r, _, it = state
-        spread = _semiring_spmv(rows, cols, vals, r, semiring="plus_times", m=n)
+        spread = fn(r)
         dangle = jnp.where(dangling, r, 0.0).sum() / n
         nxt = (1.0 - damping) / n + damping * (spread + dangle)
         return nxt, jnp.abs(nxt - r).sum(), it + 1

@@ -380,9 +380,25 @@ def _radix_kernel(c0_ref, cols_ref, lrow_ref, vals_ref, xp_ref, y_ref, *,
     lane128 = jax.lax.broadcasted_iota(jnp.int32, (128, 1), 0)
     lane_slot = (lane128 % (spr * kt)) // kt   # gather layout: (hl, slot, k)
     lane_grp = lane128 // (nhl * kt)           # scatter layout: (grp, hl, k)
-    j_of_lane = (lane128 // (spr * kt)) * kt + lane128 % kt
-    iota_j = jax.lax.broadcasted_iota(jnp.int32, (1, nhl * kt), 1)
-    Csum = (j_of_lane == iota_j).astype(bf16)  # (128, nhl*kt), loop-invariant
+    # Two collapse formulations (same math, different intermediate shapes):
+    #   nhl*kt >= 8  collapse to (nhl*kt, G), multiply/split there, tile to
+    #                (128, G) — least VPU work (benches fastest at kt=8)
+    #   nhl*kt < 8   sub-8-sublane intermediates make Mosaic's compile time
+    #                explode (459 s at kt=1); instead collapse straight to
+    #                the scatter layout with a (128, 128) matrix that folds
+    #                hi/lo AND broadcasts x across (grp, hl) slots, keeping
+    #                every shape at the full 128 sublanes (compiles in
+    #                seconds, slightly more VPU work)
+    wide = nhl * kt >= 8
+    if wide:
+        j_of_lane = (lane128 // (spr * kt)) * kt + lane128 % kt
+        iota_j = jax.lax.broadcasted_iota(jnp.int32, (1, nhl * kt), 1)
+        Csum = (j_of_lane == iota_j).astype(bf16)  # (128, nhl*kt)
+    else:
+        k_in = lane128 % kt
+        k_out = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1) % kt
+        Cb = (k_in == k_out).astype(bf16)          # (128, 128)
+        hl_sub = (lane128 // kt) % nhl             # scatter-layout hi/lo
 
     def chunk(j, acc):
         r0 = pl.multiple_of(c0_ref[0, 0, j] // spr, 8)
@@ -397,20 +413,31 @@ def _radix_kernel(c0_ref, cols_ref, lrow_ref, vals_ref, xp_ref, y_ref, *,
             x2d, RT, dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=f32)        # (128, G)
         tsel = jnp.where(lane_slot == slot, tmpT, 0.0).astype(bf16)
-        xg2 = jax.lax.dot_general(
-            Csum, tsel, dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=f32)        # (nhl*kt, G)
-        if mode == "fp32x2":
-            xg = xg2[:kt, :] + xg2[kt:, :]     # exact x recomposition
-            p = xg * v
-            phi, plo = _split_bf16(p)          # single rounding of v*x
-            c2 = jnp.concatenate([phi, plo], axis=0)   # (2kt, G)
+        if wide:
+            xg2 = jax.lax.dot_general(
+                Csum, tsel, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=f32)    # (nhl*kt, G)
+            if mode == "fp32x2":
+                xg = xg2[:kt, :] + xg2[kt:, :]  # exact x recomposition
+                p = xg * v
+                phi, plo = _split_bf16(p)       # single rounding of v*x
+                c2 = jnp.concatenate([phi, plo], axis=0)   # (2kt, G)
+            else:
+                c2 = (xg2 * v).astype(bf16)     # (kt, G)
+            psel_pre = jnp.concatenate([c2] * ngrp, axis=0)  # (128, G)
         else:
-            c2 = (xg2 * v).astype(bf16)        # (kt, G)
-        psel_base = jnp.concatenate([c2] * ngrp, axis=0)  # (128, G)
+            xb = jax.lax.dot_general(
+                Cb, tsel, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=f32)    # (128, G): x at every slot
+            pb = xb * v                        # f32 product, single rounding
+            if mode == "fp32x2":
+                phi, plo = _split_bf16(pb)
+                psel_pre = jnp.where(hl_sub == 0, phi, plo)
+            else:
+                psel_pre = pb.astype(bf16)
         grp = lrow % ngrp
         rhi = lrow // ngrp
-        psel = jnp.where(lane_grp == grp, psel_base, bf16(0))
+        psel = jnp.where(lane_grp == grp, psel_pre, bf16(0))
         rowhot = (iota_rbs == rhi).astype(bf16)           # (rbs, G)
         return acc + jax.lax.dot_general(
             rowhot, psel, dimension_numbers=(((1,), (1,)), ((), ())),
