@@ -66,7 +66,7 @@ def run_suite(quick: bool = False, out_path: str = "BENCH_SUITE.jsonl"):
         for k in ([8] if quick else [8, 32, 128]):
             x = np.random.default_rng(0).standard_normal((mat.shape[1], k)).astype(np.float32)
             try:
-                res = tune(mat, x, iters=5, validate=True)
+                res = tune(mat, x, iters=5, validate=True, budget=10)
                 bfn = bcoo_spmm_fn(mat)
                 bsec = time_fn(bfn, jnp.asarray(x), iters=5)
                 emit({

@@ -335,11 +335,11 @@ def pack_halo_span(
     if packed is None:
         from tpusparse.kernels.span_gather import span_chunk_numpy
 
-        c0_2d, cols_f, lrow_f, vals_f, _ = span_chunk_numpy(
+        c0_2d, cols_f, lrow_f, vals_f, _, _nc = span_chunk_numpy(
             lcol_s, lrow_s, vals_s, starts, g, span_budget
         )
     else:
-        c0_2d, cols_f, lrow_f, vals_f = packed
+        c0_2d, cols_f, lrow_f, vals_f, _nc = packed
     nc = c0_2d.shape[1]
 
     shape5 = (d, d, p_loc)

@@ -7,17 +7,32 @@ reduce-kind — which is the idiomatic XLA/Mosaic equivalent of string codegen:
 each (matrix, schedule) still gets its own compiled TPU binary, produced by
 the Mosaic compiler from a parameterized kernel.
 
-Kernel families and their reference reduction-template counterparts:
+Kernel modules and their reference reduction-template counterparts:
 
+  radix_gather    the small-K champion (and the SpMV path at kt=1):
+                  lane-packed X + 3 full-lane one-hot dots per chunk; the
+                  lane packing is the TPU realization of the reference's
+                  interleaved storage (interlance_storage_operator), and
+                  pack_brick_ell runs the literal ELL-pad + interleave
+                  layout through the same kernel for the measured
+                  head-to-head (schedule families: radix_span, brick_ell).
+  span_gather     column-sorted dynamic-window one-hot chunks (families:
+                  span_onehot, span_colsplit; fp32 HIGHEST mode lives here).
+  tile_onehot     fixed column tiles, streaming-X variant for large N
+                  (family: tile_onehot).
   stripe_gather   total_BMT/total_warp/total_block_..._to_one_register:
-                  row-aligned stripes, one owner per row, direct store.
+                  row-aligned stripes, one owner per row, direct store —
+                  flat (stripe_total) and two-level nested (stripe_nested)
+                  with parent-relative warp offsets.
   nnz_split       thread_bit_map_reduce_to_two_register + warp/tblock bitmap
                   & segment tokens: nnz-direction chunks, per-segment
-                  partials + combine pass (TPU has no atomics).
-  brick_ell       interleaved ELL + vectorized Load() coarsening: dense
-                  8 x bw bricks, one dynamic X-slice + small matmul each.
-  bsr_mxu         (no direct reference counterpart; the MXU dense-tile path
-                  mandated by BASELINE.json for block/N:M sparsity)
+                  partials + combine pass (TPU has no atomics); families
+                  nnz_segment and segment_span.
+  block_ell       dense-block MXU path (BASELINE.json block sparsity;
+                  XLA batched-einsum formulation — beats dense at >=15%
+                  block fill).
+  nm_structured   N:M (2:4) structured sparsity on the MXU (capacity play;
+                  see PERF.md for the honest throughput analysis).
 """
 
 from tpusparse.kernels.common import kernel_backend_interpret

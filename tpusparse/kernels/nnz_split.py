@@ -151,11 +151,11 @@ def pack_segment_span(
     if packed is None:
         from tpusparse.kernels.span_gather import span_chunk_numpy
 
-        c0_2d, cols_f, lrow_f, vals_f, _ = span_chunk_numpy(
+        c0_2d, cols_f, lrow_f, vals_f, _, _nc = span_chunk_numpy(
             cols_s, seg_s, vals_s, starts, g, span_budget
         )
     else:
-        c0_2d, cols_f, lrow_f, vals_f = packed
+        c0_2d, cols_f, lrow_f, vals_f, _nc = packed
     nc = c0_2d.shape[1]
 
     row_of_slot = np.full(p_count * rb, -1, dtype=np.int32)

@@ -94,6 +94,10 @@ class RadixFormat:
       cols  [P, NC, G] int32  column offset within the window (< S*spr)
       lrow  [P, NC, G] int32  row local to the program (< RB)
       vals  [P, NC, G] f32
+      nc_p  [P, 1, 1]  int32  REAL chunk count per program (diagnostic:
+                              sum(nc_p)*G/nnz is the compute-padding rate;
+                              the kernel keeps STATIC loop bounds — see the
+                              pipelining note in _radix_kernel)
       slot_of_origrow [M] int32
     """
 
@@ -101,6 +105,7 @@ class RadixFormat:
     cols: Any
     lrow: Any
     vals: Any
+    nc_p: Any
     slot_of_origrow: Any
     n_programs: int
     n_chunks: int
@@ -209,11 +214,11 @@ def pack_radix(
                                   span_budget, want_dest=keep_perm)
     if packed is not None:
         if keep_perm:
-            c0_2d, cols_f, lrow_f, vals_f, dest_sorted = packed
+            c0_2d, cols_f, lrow_f, vals_f, nc_arr, dest_sorted = packed
         else:
-            c0_2d, cols_f, lrow_f, vals_f = packed
+            c0_2d, cols_f, lrow_f, vals_f, nc_arr = packed
     else:
-        c0_2d, cols_f, lrow_f, vals_f, dest_sorted = span_chunk_numpy(
+        c0_2d, cols_f, lrow_f, vals_f, dest_sorted, nc_arr = span_chunk_numpy(
             cols_s, lrow_s, vals_s, starts, g, span_budget, keep_perm=keep_perm
         )
     # realign window starts from the chunkers' 8 to 8*spr
@@ -231,6 +236,7 @@ def pack_radix(
         cols=jnp.asarray(cols_f),
         lrow=jnp.asarray(lrow_f),
         vals=jnp.asarray(vals_f, dtype=jnp.float32),
+        nc_p=jnp.asarray(np.asarray(nc_arr, np.int32).reshape(p_count, 1, 1)),
         slot_of_origrow=jnp.asarray(slot_of_origrow),
         n_programs=p_count,
         n_chunks=nc,
@@ -344,6 +350,8 @@ def pack_brick_ell(
         cols=jnp.asarray(cols_f),
         lrow=jnp.asarray(lrow_f),
         vals=jnp.asarray(vals_f),
+        nc_p=jnp.asarray(np.asarray([len(c) for c in chunks],
+                                    np.int32).reshape(p_count, 1, 1)),
         slot_of_origrow=jnp.asarray(slot_of_origrow),
         n_programs=p_count,
         n_chunks=nc,
@@ -443,6 +451,10 @@ def _radix_kernel(c0_ref, cols_ref, lrow_ref, vals_ref, xp_ref, y_ref, *,
             rowhot, psel, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=f32)
 
+    # STATIC loop bounds: a dynamic per-program trip count (nc_p in SMEM)
+    # was measured 30% SLOWER — it defeats Mosaic's software pipelining of
+    # the chunk DMAs, which outweighs skipping the ~7% uniform-NC tail.
+    # nc_p stays in the format as the honest compute-padding diagnostic.
     if unroll > 1:
         def body(i, accs):
             return tuple(chunk(i * unroll + u, accs[u]) for u in range(unroll))
@@ -478,8 +490,8 @@ def pack_x_radix(x, mode: str, kt: int):
     static_argnames=("n_programs", "nc", "g", "rb", "S", "kt", "mode",
                      "unroll", "interpret"),
 )
-def _radix_call(c0, cols3, lrow3, vals3, x, *, n_programs, nc, g, rb, S, kt,
-                mode, unroll, interpret):
+def _radix_call(c0, cols3, lrow3, vals3, x, *, n_programs, nc, g, rb,
+                S, kt, mode, unroll, interpret):
     spr, nhl, ngrp = radix_geometry(kt, mode)
     rbs = rb // ngrp
     kt_count = x.shape[1] // kt

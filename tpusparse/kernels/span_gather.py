@@ -102,7 +102,7 @@ def span_chunk_numpy(cols_s, lrow_s, vals_s, starts, g, span_budget, *,
     """Pure-numpy span chunker (fallback for native.span_pack): cut each
     program's column-sorted nz into chunks of <= G nz whose columns fit a
     ``span_budget``-wide window.  Returns (c0 [P, NC], cols/lrow [P, NC, G],
-    vals [P, NC, G], dest_sorted or None)."""
+    vals [P, NC, G], dest_sorted or None, nc_per_program [P])."""
     p_count = len(starts) - 1
     chunks: list[list[tuple[int, int, int]]] = [[] for _ in range(p_count)]
     # build (c0, begin, end) chunk descriptors per program
@@ -133,7 +133,8 @@ def span_chunk_numpy(cols_s, lrow_s, vals_s, starts, g, span_budget, *,
             vals_f[p, ci, :n] = vals_s[i:j]
             if keep_perm:
                 dest_sorted[i:j] = (p * nc + ci) * g + np.arange(n)
-    return c0_2d, cols_f, lrow_f, vals_f, dest_sorted
+    nc_arr = np.asarray([len(c) for c in chunks], dtype=np.int64)
+    return c0_2d, cols_f, lrow_f, vals_f, dest_sorted, nc_arr
 
 
 def pack_span(
@@ -212,13 +213,13 @@ def pack_span(
                                   span_budget, want_dest=keep_perm)
     if packed is not None:
         if keep_perm:
-            c0_2d, cols_f, lrow_f, vals_f, dest_sorted = packed
+            c0_2d, cols_f, lrow_f, vals_f, _nc_arr, dest_sorted = packed
         else:
-            c0_2d, cols_f, lrow_f, vals_f = packed
+            c0_2d, cols_f, lrow_f, vals_f, _nc_arr = packed
         nc = c0_2d.shape[1]
         c0_arr = c0_2d[:, None, :]
     else:
-        c0_2d, cols_f, lrow_f, vals_f, dest_sorted = span_chunk_numpy(
+        c0_2d, cols_f, lrow_f, vals_f, dest_sorted, _nc_arr = span_chunk_numpy(
             cols_s, lrow_s, vals_s, starts, g, span_budget, keep_perm=keep_perm
         )
         nc = c0_2d.shape[1]

@@ -178,9 +178,10 @@ def bucket_counts(key: np.ndarray, n_buckets: int):
 def span_pack(cols_sorted, lrow_sorted, vals_sorted, p_starts, g: int,
               span_budget: int, want_dest: bool = False):
     """Native span-format chunking+fill.  Returns (c0 [P, NC] int32,
-    cols/lrow [P, NC, G] int32, vals [P, NC, G] f32[, dest [nnz] int64]) or
-    None if the native library is unavailable.  ``dest`` is each input nz's
-    flat packed position (for values-only updates)."""
+    cols/lrow [P, NC, G] int32, vals [P, NC, G] f32, nc_per_program [P]
+    int64[, dest [nnz] int64]) or None if the native library is
+    unavailable.  ``dest`` is each input nz's flat packed position (for
+    values-only updates)."""
     lib = _load()
     if lib is None:
         return None
@@ -221,5 +222,5 @@ def span_pack(cols_sorted, lrow_sorted, vals_sorted, p_starts, g: int,
         dest.ctypes.data_as(i64p) if want_dest else None,
     )
     if want_dest:
-        return c0, out_cols, out_lrow, out_vals, dest
-    return c0, out_cols, out_lrow, out_vals
+        return c0, out_cols, out_lrow, out_vals, nc_arr, dest
+    return c0, out_cols, out_lrow, out_vals, nc_arr
