@@ -111,3 +111,34 @@ def test_halo_span_2d_mesh():
     fn, put_inputs = build_halo_span_spmm(fmt, mesh, ktile=16)
     y = np.asarray(fn(*put_inputs(x)))[:, :k]
     check_result(y, spmm_reference(mat, x.astype(np.float64)), rtol=1e-3)
+
+
+def test_halo_radix_ring():
+    """Radix-kernel ppermute ring (champion per-chip path) vs oracle on the
+    virtual mesh, 1D and 2D (rows x k)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+
+    from tpusparse.dist.overlap import build_halo_radix_spmm, pack_halo_radix
+    from tpusparse.io import builder
+    from tpusparse.oracle import check_result, spmm_reference
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 virtual devices")
+    mat = builder.power_law_coo(512, 600, avg_nnz_per_row=6.0, seed=7)
+    x = np.random.default_rng(1).standard_normal((600, 16)).astype(np.float32)
+    want = spmm_reference(mat, x.astype(np.float64))
+
+    fmt = pack_halo_radix(mat, 4, rows_per_program=128, S=16, g=64, kt=8)
+    mesh = Mesh(np.array(jax.devices()[:4]), ("rows",))
+    fn, put = build_halo_radix_spmm(fmt, mesh, kt=8)
+    y = np.asarray(fn(*put(jnp.asarray(x))))[:, :16]
+    check_result(y, want, rtol=2e-3)
+
+    # 2D mesh: rows x k
+    if len(jax.devices()) >= 8:
+        mesh2 = Mesh(np.array(jax.devices()[:8]).reshape(4, 2), ("rows", "k"))
+        fn2, put2 = build_halo_radix_spmm(fmt, mesh2, kt=8)
+        y2 = np.asarray(fn2(*put2(jnp.asarray(x))))[:, :16]
+        check_result(y2, want, rtol=2e-3)

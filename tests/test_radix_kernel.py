@@ -188,3 +188,19 @@ def test_tuner_full_and_budget():
     x = np.random.default_rng(0).standard_normal((160, 8)).astype(np.float32)
     res = tune(mat, x, budget=2, use_cache=False, iters=2)
     assert len(res.table) == 2
+
+
+def test_tune_at_k1_covers_spmv():
+    """SpMV folds into tune() as the K=1 schedule family (VERDICT r1 #2):
+    radix kt=1 candidates are enumerated and win validation."""
+    from tpusparse.tune import default_candidates, tune
+
+    mat = builder.power_law_coo(256, 256, avg_nnz_per_row=6.0, seed=3)
+    cands = default_candidates(mat, 1)
+    radix = [c for c in cands if c.family == "radix_span"]
+    assert radix and all(c.ktile == 1 for c in radix)
+    x = np.random.default_rng(0).standard_normal((256, 1)).astype(np.float32)
+    res = tune(mat, x, candidates=radix[:1], use_cache=False, iters=2)
+    from tpusparse.oracle import spmm_reference
+    check_result(np.asarray(res.best(x)),
+                 spmm_reference(mat, x.astype(np.float64)), rtol=2e-3)

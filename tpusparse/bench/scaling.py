@@ -48,11 +48,13 @@ def measure_scaling(
     base = None
     for d in device_counts:
         if native.available():
-            from tpusparse.dist.overlap import build_halo_span_spmm, pack_halo_span
+            from tpusparse.dist.overlap import (build_halo_radix_spmm,
+                                                pack_halo_radix)
 
-            fmt = pack_halo_span(mat, d, rows_per_program=512, ct=512, g=256)
+            fmt = pack_halo_radix(mat, d, rows_per_program=1024, S=128,
+                                  g=256, kt=8)
             mesh = Mesh(np.array(jax.devices()[:d]), ("rows",))
-            fn, put_inputs = build_halo_span_spmm(fmt, mesh)
+            fn, put_inputs = build_halo_radix_spmm(fmt, mesh, kt=8)
         else:
             fmt = pack_halo_stripe(mat, d, rows_per_stripe=64)
             mesh = Mesh(np.array(jax.devices()[:d]), ("rows",))

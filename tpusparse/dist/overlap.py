@@ -272,7 +272,10 @@ def pack_halo_span(
     rows_per_program: int = 512,
     ct: int = 512,
     g: int = 256,
+    align: int = 8,
 ) -> HaloSpanFormat:
+    """``align`` > 8 packs for the radix ring kernel: window starts land on
+    8*spr row boundaries (see pack_halo_radix)."""
     from tpusparse.kernels.common import round_up as _round_up
 
     m, n = mat.shape
@@ -289,8 +292,8 @@ def pack_halo_span(
     bounds = np.maximum.accumulate(
         np.concatenate([[0], cut_rows, [m]]).astype(np.int64))
 
-    n_chunk_rows = _round_up(-(-max(n, 1) // d), 8)
-    span_budget = ct - 8
+    n_chunk_rows = _round_up(-(-max(n, 1) // d), max(align, 8))
+    span_budget = ct - align
 
     # within each device: deal rows round-robin by length (shared across chunks)
     lengths = np.bincount(rows, minlength=m)
@@ -340,6 +343,11 @@ def pack_halo_span(
         )
     else:
         c0_2d, cols_f, lrow_f, vals_f, _nc = packed
+    if align > 8:
+        # realign window starts from the chunkers' 8 to the radix 8*spr
+        delta = (c0_2d % align).astype(np.int32)
+        c0_2d = c0_2d - delta
+        cols_f = cols_f + delta[:, :, None]
     nc = c0_2d.shape[1]
 
     shape5 = (d, d, p_loc)
@@ -448,6 +456,119 @@ def build_halo_span_spmm(
         xc = x.reshape(d, fmt.n_chunk_rows, -1)
         xc = jnp.pad(xc, ((0, 0), (0, ct_pad), (0, 0)))
         xflat = xc.reshape(d * (fmt.n_chunk_rows + ct_pad), -1)
+        row5 = NamedSharding(mesh, P("rows", None, None, None, None))
+        return (
+            jax.device_put(fmt.c0, row5),
+            jax.device_put(fmt.cols, row5),
+            jax.device_put(fmt.lrow, row5),
+            jax.device_put(fmt.vals, row5),
+            jax.device_put(fmt.slot_of_origrow, NamedSharding(mesh, P())),
+            jax.device_put(xflat, NamedSharding(mesh, P("rows", kspec))),
+        )
+
+    return fn, put_inputs
+
+
+def pack_halo_radix(
+    mat: CooMatrix,
+    n_devices: int,
+    *,
+    rows_per_program: int = 1024,
+    S: int = 128,
+    g: int = 256,
+    kt: int = 8,
+    mode: str = "fp32x2",
+) -> HaloSpanFormat:
+    """Halo ring format for the radix kernel: span packing with window
+    starts aligned to the 8*spr radix row-group boundary (ct = S*spr)."""
+    from tpusparse.kernels.radix_gather import radix_geometry
+
+    spr, _, ngrp = radix_geometry(kt, mode)
+    assert rows_per_program % ngrp == 0
+    return pack_halo_span(mat, n_devices, rows_per_program=rows_per_program,
+                          ct=S * spr, g=g, align=8 * spr)
+
+
+def build_halo_radix_spmm(
+    fmt: HaloSpanFormat,
+    mesh: Mesh,
+    *,
+    kt: int = 8,
+    mode: str = "fp32x2",
+    unroll: int = 4,
+    interpret: bool | None = None,
+):
+    """Radix-kernel variant of the ppermute ring (the champion per-chip
+    path at small K): same overlap structure as build_halo_span_spmm, each
+    ring step lane-packs the resident X chunk and runs the 3-dot radix
+    kernel on its sub-format."""
+    from tpusparse.kernels.common import round_up as _round_up
+    from tpusparse.kernels.radix_gather import _radix_call, radix_geometry
+
+    if interpret is None:
+        interpret = kernel_backend_interpret()
+    spr, _, ngrp = radix_geometry(kt, mode)
+    d = fmt.n_devices
+    assert mesh.shape["rows"] == d, (mesh.shape, d)
+    k_sharded = "k" in mesh.shape and mesh.shape["k"] > 1
+    kspec = "k" if k_sharded else None
+    p_loc = fmt.programs_per_device
+    rb = fmt.rb
+    nc = fmt.n_chunks_span
+    g = fmt.chunk_g
+    W = fmt.ct
+    S = W // spr
+    perm = [(i, (i + 1) % d) for i in range(d)]
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P("rows"), P("rows"), P("rows"), P("rows"), P("rows", kspec)),
+        out_specs=P("rows", kspec),
+        check_vma=False,
+    )
+    def ring_kernel(c0, cols, lrow, vals, x_chunk):
+        c0, cols, lrow, vals = c0[0], cols[0], lrow[0], vals[0]
+        me = jax.lax.axis_index("rows")
+        k_in = x_chunk.shape[1]
+        if k_in % kt:
+            x_chunk = jnp.pad(x_chunk, ((0, 0), (0, kt - k_in % kt)))
+
+        def step(s, carry):
+            x_cur, y = carry
+            x_next = jax.lax.ppermute(x_cur, "rows", perm)
+            chunk = jax.lax.rem(me - s + d, d)
+            sub = [jax.lax.dynamic_index_in_dim(a, chunk, 0, keepdims=False)
+                   for a in (c0, cols, lrow, vals)]
+            part = _radix_call(
+                sub[0], sub[1], sub[2], sub[3], x_cur,
+                n_programs=p_loc, nc=nc, g=g, rb=rb, S=S, kt=kt, mode=mode,
+                unroll=unroll, interpret=interpret,
+            )
+            return x_next, y + part
+
+        y0 = jnp.zeros((p_loc * rb, x_chunk.shape[1]), jnp.float32)
+        _, y = jax.lax.fori_loop(0, d, step, (x_chunk, y0))
+        return y[:, :k_in]
+
+    @jax.jit
+    def fn(c0, cols, lrow, vals, slot, x):
+        y_slots = ring_kernel(c0, cols, lrow, vals, x)
+        oob = y_slots.shape[0]
+        slot = jnp.where(slot < 0, oob, slot)
+        return jnp.take(y_slots, slot, axis=0, mode="fill", fill_value=0)
+
+    def put_inputs(x):
+        n_pad = d * fmt.n_chunk_rows
+        x = jnp.asarray(x, jnp.float32)
+        if x.shape[0] < n_pad:
+            x = jnp.pad(x, ((0, n_pad - x.shape[0]), (0, 0)))
+        # chunk tail pad >= W so windows never read past the shard, and the
+        # per-shard row count stays a multiple of the 8*spr packing group
+        w_pad = _round_up(W + 8 * spr, 8 * spr)
+        xc = x.reshape(d, fmt.n_chunk_rows, -1)
+        xc = jnp.pad(xc, ((0, 0), (0, w_pad), (0, 0)))
+        xflat = xc.reshape(d * (fmt.n_chunk_rows + w_pad), -1)
         row5 = NamedSharding(mesh, P("rows", None, None, None, None))
         return (
             jax.device_put(fmt.c0, row5),

@@ -286,6 +286,10 @@ class SegmentFormat:
     def padding_rate(self) -> float:
         return self.n_blocks * self.block_nnz / max(self.nnz_real, 1)
 
+    def memory_bytes(self) -> int:
+        return sum(np.asarray(a).nbytes
+                   for a in (self.cols, self.lrow, self.vals, self.row_of_slot))
+
 
 def pack_segment(
     ms: MetaDataSet,

@@ -99,6 +99,14 @@ class SegmentSpanFormat:
     def padding_rate(self) -> float:
         return self.n_blocks * self.n_chunks * self.chunk_g / max(self.nnz_real, 1)
 
+    @property
+    def memory_bytes(self) -> int:
+        import numpy as _np
+
+        return sum(_np.asarray(a).nbytes
+                   for a in (self.c0, self.cols, self.lrow, self.vals,
+                             self.row_of_slot))
+
 
 def pack_segment_span(
     mat: CooMatrix,
