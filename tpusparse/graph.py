@@ -135,6 +135,13 @@ def bfs(mat: CooMatrix, source: int, max_iter: int | None = None) -> np.ndarray:
     i.e. the transposed adjacency that ``read_mtx(graph_mode='bfs')``
     produces (struct.cc graph loader).
     """
+    level, _ = bfs_fn(mat, max_iter=max_iter)(source)
+    return np.asarray(level)
+
+
+def bfs_fn(mat: CooMatrix, max_iter: int | None = None):
+    """Jitted ``run(source) -> (level, n_iters)`` for repeated BFS over one
+    packed matrix (the pack and the compile both amortize)."""
     n = mat.shape[0]
     assert mat.shape[0] == mat.shape[1], "BFS needs a square adjacency"
     if max_iter is None:
@@ -153,10 +160,15 @@ def bfs(mat: CooMatrix, source: int, max_iter: int | None = None) -> np.ndarray:
         level = jnp.where(nxt, it + 1, level)
         return level, nxt.astype(jnp.float32), it + 1
 
-    level0 = jnp.full((n,), -1, jnp.int32).at[source].set(0)
-    frontier0 = jnp.zeros((n,), jnp.float32).at[source].set(1.0)
-    level, _, _ = jax.lax.while_loop(cond, body, (level0, frontier0, jnp.int32(0)))
-    return np.asarray(level)
+    @jax.jit
+    def run(source):
+        level0 = jnp.full((n,), -1, jnp.int32).at[source].set(0)
+        frontier0 = jnp.zeros((n,), jnp.float32).at[source].set(1.0)
+        level, _, it = jax.lax.while_loop(
+            cond, body, (level0, frontier0, jnp.int32(0)))
+        return level, it
+
+    return run
 
 
 def pagerank(
@@ -167,6 +179,18 @@ def pagerank(
 ) -> np.ndarray:
     """Power iteration.  ``mat`` in push orientation (entry (u, v) = edge
     v->u); dangling mass is redistributed uniformly."""
+    r, _ = pagerank_fn(mat, damping=damping, tol=tol, max_iter=max_iter)()
+    return np.asarray(r)
+
+
+def pagerank_fn(
+    mat: CooMatrix,
+    damping: float = 0.85,
+    tol: float = 1e-6,
+    max_iter: int | None = None,
+):
+    """Jitted ``run() -> (rank, n_iters)`` for repeated PageRank over one
+    packed matrix."""
     n = mat.shape[0]
     assert mat.shape[0] == mat.shape[1]
     if max_iter is None:
@@ -191,9 +215,18 @@ def pagerank(
         nxt = (1.0 - damping) / n + damping * (spread + dangle)
         return nxt, jnp.abs(nxt - r).sum(), it + 1
 
-    r0 = jnp.full((n,), 1.0 / n, jnp.float32)
-    r, _, _ = jax.lax.while_loop(cond, body, (r0, jnp.float32(jnp.inf), jnp.int32(0)))
-    return np.asarray(r)
+    @jax.jit
+    def run(r0):
+        r, _, it = jax.lax.while_loop(
+            cond, body, (r0, jnp.float32(jnp.inf), jnp.int32(0)))
+        return r, it
+
+    def runner(r0=None):
+        if r0 is None:
+            r0 = jnp.full((n,), 1.0 / n, jnp.float32)
+        return run(jnp.asarray(r0, jnp.float32))
+
+    return runner
 
 
 def connected_components(mat: CooMatrix, max_iter: int | None = None) -> np.ndarray:

@@ -218,6 +218,16 @@ def _build_sub_plan(ms, ex, sub: int, sched: Schedule, out_rows: int, interpret)
         ex.add_and_run(InterleaveStorageOperator(sub, Level.TBLOCK))
         fmt = pack_brick_ell(ms, sub, out_rows=out_rows, rb=sched.rb,
                              S=sched.sublanes, g=sched.g, kt=kt, mode=mode)
+        # interleaved order scatters columns, so NC explodes on matrices
+        # without column locality; gate the per-program VMEM block before
+        # Mosaic fails opaquely (this is the measured reason brick-ELL
+        # loses to span chunking on TPU — see BENCH_SUITE layout_h2h)
+        blk_bytes = fmt.n_chunks * fmt.chunk_g * 12
+        if blk_bytes > 4 * 1024 * 1024:
+            raise RuntimeError(
+                f"brick_ell chunk blocks need {blk_bytes/2**20:.0f} MB VMEM "
+                f"(NC={fmt.n_chunks}): the interleaved layout has no column "
+                "locality on this matrix; use radix_span")
 
         def fn(x, fmt=fmt):
             return radix_spmm(fmt, x, unroll=sched.unroll, interpret=interpret)

@@ -78,35 +78,48 @@ def spgemm(
         z = jnp.zeros((n, tile_cols), jnp.float32)
         return z.at[rows, cols].add(vals, mode="drop")
 
-    @jax.jit
-    def tile_product_and_count(rows, cols, vals):
-        xt = densify_tile(rows, cols, vals)
-        yt = plan(xt)
-        keep = jnp.abs(yt) > threshold if threshold > 0 else yt != 0
-        return yt, keep, keep.sum()
+    # tiles are processed in GROUPS of T so each group costs two host
+    # round-trips total (counts fetch + packed-triplet fetch) instead of
+    # two per tile — on a remote TPU the per-sync latency dominates
+    # everything else in this algorithm
+    T = min(8, n_tiles)
+
+    @functools.partial(jax.jit, static_argnames=("t",))
+    def group_products(rows_g, cols_g, vals_g, *, t):
+        yts = jnp.stack([plan(densify_tile(rows_g[i], cols_g[i], vals_g[i]))
+                         for i in range(t)])
+        keeps = jnp.abs(yts) > threshold if threshold > 0 else yts != 0
+        return yts, keeps, keeps.sum(axis=(1, 2))
 
     @functools.partial(jax.jit, static_argnames=("size",))
-    def sparsify(yt, keep, *, size):
-        r, c = jnp.nonzero(keep, size=size, fill_value=-1)
-        return r, c, yt[jnp.maximum(r, 0), jnp.maximum(c, 0)]
+    def group_sparsify(yts, keeps, *, size):
+        def one(yt, keep):
+            r, c = jnp.nonzero(keep, size=size, fill_value=-1)
+            return r, c, yt[jnp.maximum(r, 0), jnp.maximum(c, 0)]
+
+        return jax.vmap(one)(yts, keeps)
 
     out_rows, out_cols, out_vals = [], [], []
-    for t0 in range(0, p, tile_cols):
-        ti = t0 // tile_cols
-        width = min(tile_cols, p - t0)
-        yt, keep, cnt = tile_product_and_count(
-            t_rows_d[ti], t_cols_d[ti], t_vals_d[ti])
-        cnt = int(cnt)  # one scalar to host per tile
-        if cnt == 0:
+    for g0 in range(0, n_tiles, T):
+        t = min(T, n_tiles - g0)
+        yts, keeps, cnts = group_products(
+            t_rows_d[g0:g0 + t], t_cols_d[g0:g0 + t], t_vals_d[g0:g0 + t], t=t)
+        cnts = np.asarray(cnts)  # ONE sync per group
+        cmax = int(cnts.max(initial=0))
+        if cmax == 0:
             continue
-        # size rounded to the next power of two bounds recompiles to
-        # O(log nnz) variants while keeping the transfer ~packed-size
-        size = 1 << (cnt - 1).bit_length()
-        r, c, v = (np.asarray(z) for z in sparsify(yt, keep, size=size))
-        live = (r >= 0) & (c < width)
-        out_rows.append(r[live].astype(np.int64))
-        out_cols.append((c[live] + t0).astype(np.int64))
-        out_vals.append(v[live].astype(np.float64))
+        # power-of-two size bounds recompiles to O(log nnz) variants
+        size = 1 << (cmax - 1).bit_length()
+        rg, cg, vg = (np.asarray(z)
+                      for z in group_sparsify(yts, keeps, size=size))
+        for i in range(t):
+            t0 = (g0 + i) * tile_cols
+            width = min(tile_cols, p - t0)
+            r, c, v = rg[i], cg[i], vg[i]
+            live = (r >= 0) & (c < width)
+            out_rows.append(r[live].astype(np.int64))
+            out_cols.append((c[live] + t0).astype(np.int64))
+            out_vals.append(v[live].astype(np.float64))
 
     if not out_rows:
         return CooMatrix(
