@@ -33,7 +33,8 @@ def zoo(quick: bool = False):
     return cases
 
 
-def run_zoo(quick: bool = False, ks=(8, 64), out_path: str = "BENCH_ZOO.jsonl"):
+def run_zoo(quick: bool = False, ks=(8, 64), out_path: str = "BENCH_ZOO.jsonl",
+            full: bool = False, budget: int | None = 10):
     import jax.numpy as jnp
     import numpy as np
 
@@ -48,7 +49,7 @@ def run_zoo(quick: bool = False, ks=(8, 64), out_path: str = "BENCH_ZOO.jsonl"):
             row = {"case": name, "shape": list(mat.shape), "nnz": mat.nnz,
                    "density": round(mat.density, 7), "k": k, "ts": time.time()}
             try:
-                res = tune(mat, x, iters=5, validate=True)
+                res = tune(mat, x, iters=5, validate=True, full=full, budget=budget)
                 row.update(
                     gflops=round(gflops(mat.nnz, k, res.best_seconds), 3),
                     seconds=res.best_seconds,
@@ -67,4 +68,4 @@ def run_zoo(quick: bool = False, ks=(8, 64), out_path: str = "BENCH_ZOO.jsonl"):
 
 
 if __name__ == "__main__":
-    run_zoo(quick="--quick" in sys.argv)
+    run_zoo(quick="--quick" in sys.argv, full="--full" in sys.argv)

@@ -94,19 +94,28 @@ def default_candidates(mat: CooMatrix, k: int, *, full: bool = False) -> list[Sc
     # radix lane-packed one-hot — champion at K <= 32 (3-dot decomposition)
     kt_r = choose_kt(k)
     if k <= 128 and mat.shape[1] * kt_r * 4 <= 6 * 1024 * 1024:
-        radix_cfgs = _radix_configs(mat.density, kt_r)
-        if full:
-            radix_cfgs = list(dict.fromkeys(
-                radix_cfgs + [(rb, S, g) for rb in (512, 1024, 2048)
-                              for S in (64, 128, 256) for g in (256, 512)]))
-        for rb, S, g in radix_cfgs:
-            for u in ((2, 4, 8) if full else (4,)):
-                cands.append(Schedule(family="radix_span", rb=rb, sublanes=S,
-                                      g=g, unroll=u, ktile=kt_r))
+        # larger kt shrinks the window (spr = 64/kt) and grows the scatter
+        # (rbs = rb * kt / 64); smaller kt runs more K-tiles on the grid —
+        # which side wins depends on the matrix, so offer both and let the
+        # min-time loop decide
+        kts = [kt_r] if kt_r <= 8 else list(dict.fromkeys([kt_r, 8]))
+        for kt_c in kts:
+            radix_cfgs = _radix_configs(mat.density, kt_c)
+            if not full and kt_c != kt_r:
+                radix_cfgs = radix_cfgs[:1]
             if full:
-                cands.append(Schedule(family="radix_span", rb=rb, sublanes=S,
-                                      g=g, unroll=4, ktile=kt_r,
-                                      precision="bf16"))
+                radix_cfgs = list(dict.fromkeys(
+                    radix_cfgs + [(rb, S, g) for rb in (512, 1024, 2048)
+                                  for S in (64, 128, 256) for g in (256, 512)]))
+            for rb, S, g in radix_cfgs:
+                for u in ((2, 4, 8) if full else (4,)):
+                    cands.append(Schedule(family="radix_span", rb=rb,
+                                          sublanes=S, g=g, unroll=u,
+                                          ktile=kt_c))
+                if full:
+                    cands.append(Schedule(family="radix_span", rb=rb,
+                                          sublanes=S, g=g, unroll=4,
+                                          ktile=kt_c, precision="bf16"))
         if k <= 32 or full:
             # the reference's interleaved brick-ELL layout through the same
             # kernel — measured per matrix, the tuner decides (it loses on
