@@ -62,3 +62,40 @@ def test_results_aggregate(tmp_path):
     assert n == 4
     assert best[("m1", 8)]["gflops"] == 5.0
     assert best[("m2", 32)]["schedule"]["family"] == "c"
+
+
+def test_radix_and_nested_format_roundtrip(tmp_path):
+    import numpy as np
+
+    from tpusparse.artifacts import load_format, save_format
+    from tpusparse.io import builder
+    from tpusparse.kernels.radix_gather import pack_radix, radix_spmm
+
+    mat = builder.power_law_coo(200, 160, avg_nnz_per_row=6.0, seed=3)
+    fmt = pack_radix(mat, rb=128, S=16, g=64, kt=8)
+    save_format(fmt, str(tmp_path / "r"))
+    back = load_format(str(tmp_path / "r"))
+    x = np.random.default_rng(1).standard_normal((160, 8)).astype(np.float32)
+    np.testing.assert_allclose(np.asarray(radix_spmm(back, x)),
+                               np.asarray(radix_spmm(fmt, x)), rtol=1e-6)
+
+    from tpusparse.format import pack_stripe_nested
+    from tpusparse.kernels.stripe_gather import stripe_nested_spmm
+    from tpusparse.levels import Level
+    from tpusparse.meta.set import create_init_metadata_set
+    from tpusparse.ops import (BalancedNnzRowBlockingOperator,
+                               ChildOffsetsOperator,
+                               GroupChildrenBlockingOperator,
+                               OperatorExecutor, RelativeIndexOperator)
+
+    ms = create_init_metadata_set(mat)
+    ex = OperatorExecutor(ms)
+    ex.add_and_run(BalancedNnzRowBlockingOperator(0, Level.WARP, 64))
+    ex.add_and_run(GroupChildrenBlockingOperator(0, Level.TBLOCK, Level.WARP, 8))
+    ex.add_and_run(ChildOffsetsOperator(0, Level.TBLOCK, Level.WARP))
+    ex.add_and_run(RelativeIndexOperator(0, Level.WARP, Level.TBLOCK))
+    nf = pack_stripe_nested(ms, 0, out_rows=200, unroll=4)
+    save_format(nf, str(tmp_path / "n"))
+    nback = load_format(str(tmp_path / "n"))
+    np.testing.assert_allclose(np.asarray(stripe_nested_spmm(nback, x)),
+                               np.asarray(stripe_nested_spmm(nf, x)), rtol=1e-6)

@@ -9,8 +9,9 @@ per artifact under the config cache_dir; Mosaic's compilation cache plays
 the role of the compiled binary.
 
 Works generically over every format dataclass in the package
-(StripeFormat, TileFormat, SegmentFormat, SpanFormat, NmFormat,
-BlockEllFormat, HaloStripeFormat).
+(StripeFormat, NestedStripeFormat, TileFormat, SegmentFormat, SpanFormat,
+RadixFormat, SegmentSpanFormat, NmFormat, BlockEllFormat,
+HaloStripeFormat).
 """
 
 from __future__ import annotations
@@ -30,13 +31,17 @@ _FORMAT_CLASSES = {}
 
 def _format_class(name: str):
     if not _FORMAT_CLASSES:
-        from tpusparse.format import SegmentFormat, StripeFormat, TileFormat
+        from tpusparse.format import (NestedStripeFormat, SegmentFormat,
+                                      StripeFormat, TileFormat)
         from tpusparse.kernels.block_ell import BlockEllFormat
         from tpusparse.kernels.nm_structured import NmFormat
+        from tpusparse.kernels.nnz_split import SegmentSpanFormat
+        from tpusparse.kernels.radix_gather import RadixFormat
         from tpusparse.kernels.span_gather import SpanFormat
         from tpusparse.dist.overlap import HaloStripeFormat
 
         for cls in (StripeFormat, TileFormat, SegmentFormat, SpanFormat,
+                    RadixFormat, SegmentSpanFormat, NestedStripeFormat,
                     NmFormat, BlockEllFormat, HaloStripeFormat):
             _FORMAT_CLASSES[cls.__name__] = cls
     return _FORMAT_CLASSES[name]

@@ -17,20 +17,24 @@ import jax
 from tpusparse.io.mtx import CooMatrix
 
 
-def spmm_fn(mat: CooMatrix, schedule=None, t_schedule=None, *, interpret=None):
+def spmm_fn(mat: CooMatrix, schedule=None, t_schedule=None, *, interpret=None,
+            k_hint: int | None = None):
     """Returns a differentiable ``fn(x) -> A @ x``.
 
     ``schedule`` / ``t_schedule``: optional explicit Schedules for the
-    forward (A) and backward (A^T) plans; defaults pick the span family.
+    forward (A) and backward (A^T) plans; defaults pick the benched family
+    for ``k_hint`` (the expected dense width; plans build before the first
+    call, so without a hint the default must be streaming-safe).
     """
     from tpusparse.schedule import build_plan, default_schedule
 
     if t_schedule is None:
         # mirror an explicit user schedule; default independently (A and A^T
         # have swapped shapes, so the VMEM gate can differ)
-        t_schedule = schedule if schedule is not None else default_schedule(mat.transpose())
+        t_schedule = (schedule if schedule is not None
+                      else default_schedule(mat.transpose(), k_hint))
     if schedule is None:
-        schedule = default_schedule(mat)  # K unknown: VMEM-safe default
+        schedule = default_schedule(mat, k_hint)  # VMEM-safe default
     fwd_plan = build_plan(mat, schedule, interpret=interpret)
     bwd_plan = build_plan(mat.transpose().sort_row_major(), t_schedule,
                           interpret=interpret)

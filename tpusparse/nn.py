@@ -47,17 +47,23 @@ class SparseLinear:
 
     @classmethod
     def from_coo(cls, mat: CooMatrix, *, schedule=None, bias=None,
-                 differentiable: bool = False, interpret=None) -> "SparseLinear":
+                 differentiable: bool = False, interpret=None,
+                 k_hint: int | None = None) -> "SparseLinear":
+        """``k_hint``: the expected folded batch width (e.g. serving batch x
+        sequence).  The plan is built before the first call, so without a
+        hint the default must be streaming-safe (tile_onehot); a small-K
+        hint unlocks the radix/span champions."""
         if differentiable:
             from tpusparse.autodiff import spmm_fn
 
-            fn = spmm_fn(mat, schedule, interpret=interpret)
+            fn = spmm_fn(mat, schedule, interpret=interpret, k_hint=k_hint)
             meta = {"kind": "coo+vjp"}
         else:
             from tpusparse.schedule import build_plan, default_schedule
 
             if schedule is None:
-                schedule = default_schedule(mat)  # K unknown: VMEM-safe default
+                # K unknown at build time: VMEM-safe default (or the hint)
+                schedule = default_schedule(mat, k_hint)
             plan = build_plan(mat, schedule, interpret=interpret)
             fn = plan.fn
             meta = {"kind": "coo", "schedule": plan.meta["schedule"]}
