@@ -70,7 +70,7 @@ def _radix_configs(density: float, kt: int) -> list[tuple[int, int, int]]:
     spr = 64 // kt  # fp32x2 geometry
     density = max(density, 1e-8)
     out = []
-    for rb, g in ((1024, 512), (512, 512), (2048, 512)):
+    for rb, g in ((1024, 512), (768, 512), (512, 512)):
         W = min(max(1.3 * g / (density * rb), 256), 64 * 1024)
         S = int(min(max(2 ** math.ceil(math.log2(max(W / spr, 1))), 32), 512))
         if (rb, S, g) not in out:
