@@ -18,8 +18,11 @@ def test_pack_nm_roundtrip():
     dense, _ = _dense_and_x()
     fmt = pack_nm(dense, dtype=np.float32)
     # reconstruct dense from the packed format
+    from tpusparse.kernels.nm_structured import unpacked_offs
+
     vals = np.asarray(fmt.vals, dtype=np.float32)
-    offs = np.asarray(fmt.offs)
+    offs = unpacked_offs(fmt)  # 2:4 stores both 2-bit offsets in one byte
+    assert fmt.packed_bits == 2 and fmt.offs.shape[0] == 1
     m, n = fmt.shape
     g = n // fmt.group
     rec = np.zeros((fmt.m_pad, fmt.g_pad * fmt.group), dtype=np.float32)

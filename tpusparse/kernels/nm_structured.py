@@ -11,10 +11,16 @@ N:M lets us read A compactly.
 
 Storage (slot-major; G = n_cols/group groups, S = n_keep slots):
   vals [S, M, G]  value of the s-th kept element of each group (0 if fewer)
-  offs [S, M, G]  its in-group offset in [0, group)   (int8)
+  offs [1, M, G]  ALL slots' in-group offsets bit-packed into one int8
+                  plane (slot s occupies bits [s*b, (s+1)*b), b =
+                  ceil(log2(group))) whenever S*b <= 8 — the kernel
+                  unpacks with int32 shifts, no lane relayout; the
+                  unpacked [S, M, G] int8 layout remains as a fallback
+                  for wider structures (flagged by packed_bits = 0)
 
-HBM traffic for A: S·M·G·(2+1) bytes (bf16 + int8) = 0.75x dense-bf16 for
-2:4; with 2-bit packed offsets 0.56x (future work).  FLOPs equal dense.
+HBM traffic for A at 2:4: S·M·G·2 (bf16) + M·G·1 (packed offsets) bytes
+= 0.625x dense-bf16 (round 1 stored one int8 per slot: 0.75x).  FLOPs
+equal dense.
 
 Kernel (grid = rows x K-tiles x G-chunks):
   for o in range(group):                                # static unroll
@@ -49,10 +55,11 @@ class NmFormat:
     """Packed N:M structured weight (see module docstring for layout)."""
 
     vals: Any  # [S, M_pad, G_pad] bf16/f32
-    offs: Any  # [S, M_pad, G_pad] int8
+    offs: Any  # [1, M_pad, G_pad] int8 bit-packed, or [S, ...] unpacked
     shape: tuple[int, int]  # original (M, n_cols)
     n_keep: int
     group: int
+    packed_bits: int = 0  # bits per slot offset when bit-packed, else 0
 
     @property
     def m_pad(self) -> int:
@@ -109,6 +116,21 @@ def pack_nm(
     out_o = np.zeros((n_keep, m_pad, g_pad), dtype=np.int8)
     out_v[:, :m, :g] = np.moveaxis(svals, 2, 0)
     out_o[:, :m, :g] = np.moveaxis(soffs, 2, 0)
+    # bit-pack all slots' offsets into one int8 plane when they fit (2:4
+    # needs 2 slots x 2 bits) — halves the index bytes with no relayout
+    bits = max(int(np.ceil(np.log2(max(group, 2)))), 1)
+    if n_keep * bits <= 8:
+        packed = np.zeros((1, m_pad, g_pad), dtype=np.uint8)
+        for s in range(n_keep):
+            packed[0] |= (out_o[s].astype(np.uint8) << (s * bits))
+        return NmFormat(
+            vals=jnp.asarray(out_v, dtype=dtype),
+            offs=jnp.asarray(packed.view(np.int8)),
+            shape=(m, n_cols),
+            n_keep=n_keep,
+            group=group,
+            packed_bits=bits,
+        )
     return NmFormat(
         vals=jnp.asarray(out_v, dtype=dtype),
         offs=jnp.asarray(out_o),
@@ -118,7 +140,8 @@ def pack_nm(
     )
 
 
-def _nm_kernel(vals_ref, offs_ref, x_ref, y_ref, *, n_keep, group, mode):
+def _nm_kernel(vals_ref, offs_ref, x_ref, y_ref, *, n_keep, group, mode,
+               packed_bits):
     gi = pl.program_id(2)
 
     @pl.when(gi == 0)
@@ -126,14 +149,20 @@ def _nm_kernel(vals_ref, offs_ref, x_ref, y_ref, *, n_keep, group, mode):
         y_ref[...] = jnp.zeros_like(y_ref)
 
     f32 = jnp.float32
+    if packed_bits:
+        # int8 stays the HBM storage type; unpack with int32 shifts (Mosaic
+        # v5e lacks int8 vector compares/shifts, int32 bitwise is fine)
+        w = offs_ref[0].astype(jnp.int32)
+        mask = (1 << packed_bits) - 1
+        slot_offs = [(w >> (s * packed_bits)) & mask for s in range(n_keep)]
+    else:
+        slot_offs = [offs_ref[s].astype(jnp.int32) for s in range(n_keep)]
     acc = y_ref[...]
     for o in range(group):
         contrib = None
         for s in range(n_keep):
             v = vals_ref[s].astype(f32)
-            # int8 stays the HBM storage type; Mosaic (v5e) lacks int8 vector
-            # compares, so widen to f32 for the mask test
-            hit = jnp.where(offs_ref[s].astype(f32) == float(o), v, 0.0)
+            hit = jnp.where(slot_offs[s] == o, v, 0.0)
             contrib = hit if contrib is None else contrib + hit
         xo = x_ref[:, o, :]
         if mode == "fp32":
@@ -154,13 +183,17 @@ def _nm_kernel(vals_ref, offs_ref, x_ref, y_ref, *, n_keep, group, mode):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n_keep", "group", "rb", "gt", "ktile", "mode", "interpret"),
+    static_argnames=("n_keep", "group", "rb", "gt", "ktile", "mode",
+                     "packed_bits", "interpret"),
 )
-def _nm_call(vals, offs, xg, *, n_keep, group, rb, gt, ktile, mode, interpret):
+def _nm_call(vals, offs, xg, *, n_keep, group, rb, gt, ktile, mode,
+             packed_bits, interpret):
     s, m_pad, g_pad = vals.shape
+    so = offs.shape[0]  # 1 when bit-packed
     k_pad = xg.shape[2]
     grid = (m_pad // rb, k_pad // ktile, g_pad // gt)
-    kernel = functools.partial(_nm_kernel, n_keep=n_keep, group=group, mode=mode)
+    kernel = functools.partial(_nm_kernel, n_keep=n_keep, group=group,
+                               mode=mode, packed_bits=packed_bits)
     xdtype = jnp.float32 if mode == "fp32" else jnp.bfloat16
     return pl.pallas_call(
         kernel,
@@ -168,7 +201,7 @@ def _nm_call(vals, offs, xg, *, n_keep, group, rb, gt, ktile, mode, interpret):
         out_shape=jax.ShapeDtypeStruct((m_pad, k_pad), jnp.float32),
         in_specs=[
             pl.BlockSpec((s, rb, gt), lambda i, t, gi: (0, i, gi), memory_space=pltpu.VMEM),
-            pl.BlockSpec((s, rb, gt), lambda i, t, gi: (0, i, gi), memory_space=pltpu.VMEM),
+            pl.BlockSpec((so, rb, gt), lambda i, t, gi: (0, i, gi), memory_space=pltpu.VMEM),
             pl.BlockSpec((gt, group, ktile), lambda i, t, gi: (gi, 0, t), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((rb, ktile), lambda i, t, gi: (i, t), memory_space=pltpu.VMEM),
@@ -214,6 +247,18 @@ def nm_spmm(
     y = _nm_call(
         fmt.vals, fmt.offs, xg,
         n_keep=fmt.n_keep, group=fmt.group,
-        rb=rb, gt=gt, ktile=ktile, mode=precision, interpret=interpret,
+        rb=rb, gt=gt, ktile=ktile, mode=precision,
+        packed_bits=fmt.packed_bits, interpret=interpret,
     )
     return y[:m, :k]
+
+
+def unpacked_offs(fmt: NmFormat) -> np.ndarray:
+    """[S, M_pad, G_pad] int8 offsets, decoding the bit-packed plane."""
+    offs = np.asarray(fmt.offs)
+    if not fmt.packed_bits:
+        return offs
+    w = offs[0].view(np.uint8).astype(np.int32)
+    mask = (1 << fmt.packed_bits) - 1
+    return np.stack([((w >> (s * fmt.packed_bits)) & mask).astype(np.int8)
+                     for s in range(fmt.n_keep)])
