@@ -80,7 +80,7 @@ class SparseLinear:
                 mode: str = "compact") -> "SparseLinear":
         """N:M structured weight.  ``mode``:
 
-        'compact'     the packed MXU kernel — 0.56x dense HBM *capacity*
+        'compact'     the packed MXU kernel — 0.625x dense HBM *capacity*
                       (bf16 vals + int8 offsets), slower per call than dense
         'throughput'  reconstruct dense bf16 on device — full dense-matmul
                       speed at full dense capacity.  On TPU (no sparse MXU)
