@@ -85,3 +85,18 @@ def test_merge_adjacent_blocks_transform():
     assert n1 < n0
     nzs = ms.get(Level.WARP, "first_nz_indices", 0)
     assert (np.diff(nzs) <= 64).all() or (np.diff(nzs) > 0).all()
+
+
+def test_stripe_ktile_not_lane_divisible_sanitized():
+    """A user ktile smaller than K that is not 128-divisible cannot lower
+    on Mosaic (X block lane dim rule); the stripe paths fall back to the
+    single-tile width (found by on-chip fuzz)."""
+    from tpusparse.schedule import Schedule, build_plan
+
+    mat = builder.power_law_coo(200, 160, avg_nnz_per_row=6.0, seed=3)
+    x = np.random.default_rng(1).standard_normal((160, 32)).astype(np.float32)
+    for fam in ("stripe_total", "stripe_nested"):
+        plan = build_plan(mat, Schedule(family=fam, work_per_block=256,
+                                        unroll=4, ktile=8))
+        y = np.asarray(plan(x))
+        check_result(y, spmm_reference(mat, x.astype(np.float64)), rtol=1e-4)

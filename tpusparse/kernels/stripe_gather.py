@@ -102,6 +102,11 @@ def stripe_spmm(
     assert x.shape[0] == n_cols, f"X rows {x.shape[0]} != A cols {n_cols}"
     if ktile is None:
         ktile = k if k <= 128 else 128
+    elif ktile < k and ktile % 128:
+        # Mosaic requires the X block's lane dim to be 128-divisible or
+        # equal to the array dim; a sub-K tile that is neither cannot
+        # lower, so fall back to the single-tile width
+        ktile = k if k <= 128 else 128
     if k % ktile:
         x = jnp.pad(x, ((0, 0), (0, ktile - k % ktile)))
     # pad X rows so the highest padded col index (stripe padding repeats a
@@ -218,6 +223,11 @@ def stripe_nested_spmm(fmt, x, *, ktile=None, unroll: int = 8,
     k = x.shape[1]
     assert x.shape[0] == n_cols
     if ktile is None:
+        ktile = k if k <= 128 else 128
+    elif ktile < k and ktile % 128:
+        # Mosaic requires the X block's lane dim to be 128-divisible or
+        # equal to the array dim; a sub-K tile that is neither cannot
+        # lower, so fall back to the single-tile width
         ktile = k if k <= 128 else 128
     if k % ktile:
         x = jnp.pad(x, ((0, 0), (0, ktile - k % ktile)))
