@@ -49,7 +49,8 @@ def spmv_fn(mat: CooMatrix, method: str = "auto"):
         # kt=1 lane packing: spr=64 X rows per sublane word, full MXU lanes
         from tpusparse.kernels.radix_gather import pack_radix, radix_spmm
 
-        fmt = pack_radix(mat, rb=1024, S=128, g=512, kt=1, mode="fp32x2")
+        # g=1024 amortizes per-chunk fixed costs at kt=1 (measured +55%)
+        fmt = pack_radix(mat, rb=2048, S=128, g=1024, kt=1, mode="fp32x2")
 
         def fn(x):
             assert x.shape == (n,), f"x shape {x.shape} != ({n},)"
