@@ -52,7 +52,7 @@ def main():
     from tpusparse.tune import _radix_configs
 
     candidates = []
-    for rb, S, g in _radix_configs(mat.density, 8)[:2] + [(1024, 128, 512)]:
+    for rb, S, g in _radix_configs(mat.density, 8)[:2] + [(1024, 128, 1024)]:
         name = f"radix rb={rb} S={S} g={g}"
         if any(n == name for n, _ in candidates):
             continue

@@ -95,7 +95,7 @@ def default_schedule(mat: CooMatrix, k: int | None = None) -> Schedule:
         # radix lane-packed xp is N*kt*4 bytes (fp32x2) per resident tile
         kt_r = choose_kt(k)
         if n * kt_r * 4 <= 6 * 1024 * 1024:
-            return Schedule(family="radix_span", rb=1024, sublanes=128, g=512,
+            return Schedule(family="radix_span", rb=1024, sublanes=128, g=1024,
                             unroll=4, ktile=kt_r)
     if x_bytes <= 6 * 1024 * 1024:
         return Schedule(family="span_onehot", rb=512, ct=1024, g=512, unroll=4)

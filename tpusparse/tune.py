@@ -70,12 +70,15 @@ def _radix_configs(density: float, kt: int) -> list[tuple[int, int, int]]:
     spr = 64 // kt  # fp32x2 geometry
     density = max(density, 1e-8)
     out = []
-    # tiny kt: per-chunk fixed costs dominate, bigger chunks amortize them
-    # (measured +55% for SpMV at g=1024)
+    # bigger chunks amortize per-chunk fixed costs (measured +30% at K=8,
+    # +55% at kt=1 for g=1024); tiny kt gets the largest grids
     cfgs = (((2048, 1024), (1024, 1024), (1024, 512)) if kt <= 2
-            else ((1024, 512), (768, 512), (512, 512)))
+            else ((1024, 1024), (1024, 512), (768, 512)))
     for rb, g in cfgs:
-        W = min(max(1.3 * g / (density * rb), 256), 64 * 1024)
+        # window sized to JUST hold a G-chunk's expected column span:
+        # slack multiplies the gather contraction (measured: S=256 loses
+        # 28% to S=128 at the same g when the window already fits)
+        W = min(max(1.0 * g / (density * rb), 256), 64 * 1024)
         S = int(min(max(2 ** math.ceil(math.log2(max(W / spr, 1))), 32), 512))
         if (rb, S, g) not in out:
             out.append((rb, S, g))
