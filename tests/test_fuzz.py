@@ -37,7 +37,8 @@ def _random_matrix(rng):
 
 def _random_schedule(rng, mat):
     fam = ["span_onehot", "tile_onehot", "stripe_total", "nnz_segment",
-           "dense", "span_colsplit", "bucketed"][int(rng.integers(0, 7))]
+           "dense", "span_colsplit", "bucketed", "radix_span", "brick_ell",
+           "stripe_nested"][int(rng.integers(0, 10))]
     rb = int(2 ** rng.integers(4, 8))
     ct = int(2 ** rng.integers(5, 9))
     g = int(2 ** rng.integers(3, 7))
@@ -45,6 +46,15 @@ def _random_schedule(rng, mat):
               unroll=int(rng.integers(1, 5)),
               precision=["fp32", "fp32x2"][int(rng.integers(0, 2))],
               sort=bool(rng.integers(0, 2)))
+    if fam in ("radix_span", "brick_ell"):
+        kw["rb"] = 128
+        kw["sublanes"] = int(2 ** rng.integers(4, 6))
+        kw["ktile"] = int(2 ** rng.integers(0, 5))
+        kw["precision"] = "fp32x2"
+        kw["sort"] = fam == "brick_ell"
+    if fam == "stripe_nested":
+        kw["work_per_block"] = int(2 ** rng.integers(6, 10))
+        kw["precision"] = "fp32"
     if fam == "span_colsplit":
         kw["col_split"] = int(rng.integers(2, 5))
     if fam == "stripe_total":
@@ -57,6 +67,7 @@ def _random_schedule(rng, mat):
     if fam == "dense":
         kw["precision"] = "fp32"
     return Schedule(**kw)
+
 
 
 @pytest.mark.parametrize("seed", range(24))
