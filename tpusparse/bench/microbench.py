@@ -110,6 +110,7 @@ def _synthetic_radix(p, nc, g, rb, S, kt, mode, n, seed=0):
     return RadixFormat(
         c0=jnp.asarray(c0), cols=jnp.asarray(cols), lrow=jnp.asarray(lrow),
         vals=jnp.asarray(vals),
+        nc_p=jnp.full((p, 1, 1), nc, dtype=jnp.int32),
         slot_of_origrow=jnp.arange(p * rb, dtype=jnp.int32),
         n_programs=p, n_chunks=nc, chunk_g=g, rb=rb, S=S, kt=kt, mode=mode,
         shape=(p * rb, n), nnz_real=p * nc * g)
