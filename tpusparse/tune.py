@@ -77,9 +77,10 @@ def _radix_configs(density: float, kt: int) -> list[tuple[int, int, int]]:
     for rb, g in cfgs:
         # window sized to JUST hold a G-chunk's expected column span:
         # slack multiplies the gather contraction (measured: S=256 loses
-        # 28% to S=128 at the same g when the window already fits)
+        # 28% to S=128 at the same g when the window already fits), so
+        # round S to the NEAREST power of two, not up
         W = min(max(1.0 * g / (density * rb), 256), 64 * 1024)
-        S = int(min(max(2 ** math.ceil(math.log2(max(W / spr, 1))), 32), 512))
+        S = int(min(max(2 ** round(math.log2(max(W / spr, 1))), 32), 512))
         if (rb, S, g) not in out:
             out.append((rb, S, g))
     return out[:3]
