@@ -96,8 +96,9 @@ def matvec_plan(mat: CooMatrix, semiring: str = "plus_times",
         from tpusparse.kernels.radix_gather import pack_radix, radix_spmm
 
         v = (use_vals != 0).astype(np.float32) if method_code == 2 else use_vals
+        # g=1024 amortizes per-chunk fixed costs at kt=1 (see spmv.py)
         fmt = pack_radix(CooMatrix(mat.rows, mat.cols, v, mat.shape),
-                         rb=1024, S=128, g=512, kt=1, mode="fp32x2")
+                         rb=2048, S=128, g=1024, kt=1, mode="fp32x2")
 
         if method_code == 2:
             def fn(x):
