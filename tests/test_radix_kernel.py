@@ -40,6 +40,34 @@ def test_radix_k_tiling():
     check_result(y, spmm_reference(mat, x.astype(np.float64)), rtol=2e-3)
 
 
+def test_radix_ktin_inner_tiles():
+    # ktin > 1 shares the chunk DMA + one-hot builds across inner K-tiles;
+    # the result must be BITWISE identical to the grid path (ktin=1)
+    mat, x = _case(k=32, seed=9)
+    fmt = pack_radix(mat, rb=128, S=16, g=128, kt=8, mode="fp32x2")
+    y1 = np.asarray(radix_spmm(fmt, x, ktin=1))
+    for ktin in (2, 4):
+        yn = np.asarray(radix_spmm(fmt, x, ktin=ktin))
+        assert np.array_equal(y1, yn)
+    check_result(y1, spmm_reference(mat, x.astype(np.float64)), rtol=2e-3)
+    # non-dividing / narrow-formulation requests fall back to 1 safely
+    fmt1 = pack_radix(mat, rb=128, S=16, g=128, kt=1, mode="fp32x2")
+    xk = x[:, :2]
+    check_result(np.asarray(radix_spmm(fmt1, xk, ktin=4)),
+                 spmm_reference(mat, xk.astype(np.float64)), rtol=2e-3)
+
+
+def test_max_ktin_guards():
+    from tpusparse.kernels.radix_gather import max_ktin
+
+    mat, _ = _case(k=32)
+    fmt = pack_radix(mat, rb=128, S=16, g=128, kt=8, mode="fp32x2")
+    assert max_ktin(fmt, 1, 4) == 1          # single tile
+    assert max_ktin(fmt, 4, 4) in (2, 4)     # wide formulation, fits
+    fmt1 = pack_radix(mat, rb=128, S=16, g=128, kt=1, mode="fp32x2")
+    assert max_ktin(fmt1, 4, 4) == 1         # narrow formulation
+
+
 def test_radix_k_smaller_than_kt():
     # K < kt: columns are zero-padded up to the packed tile
     mat, x = _case(k=3, seed=6)

@@ -38,6 +38,12 @@ other fp32x2 kernels.  bf16 mode rounds the product once to bf16
 X must be VMEM-resident: xp is (N/spr, 128) bf16 per K-tile = N*kt*4
 bytes (fp32x2) — the same footprint gate as span_onehot.
 
+K > kt tiles run on a grid axis; ``radix_spmm(..., ktin=)`` can instead
+process several K-tiles inside one program, sharing the chunk DMA and
+every one-hot/mask build and fusing the scatter into one wide dot.
+Measured neutral-to-negative on v5e (see max_ktin) — the VLIW pipeline
+already hides the shared work — so auto keeps ktin=1.
+
 Reference counterpart: the interleaved/ELL storage family
 (interlance_storage_operator, data_transform_step.hpp:1597-1693) — the
 lane packing IS an interleave: spr consecutive rows of X are stored
@@ -380,7 +386,7 @@ def with_values(fmt: RadixFormat, new_vals) -> RadixFormat:
 
 
 def _radix_kernel(c0_ref, cols_ref, lrow_ref, vals_ref, xp_ref, y_ref, *,
-                  nc, g, rbs, ngrp, S, kt, mode, unroll):
+                  nc, g, rbs, ngrp, S, kt, mode, unroll, ktin=1):
     spr, nhl, _ = radix_geometry(kt, mode)
     bf16, f32 = jnp.bfloat16, jnp.float32
     iota_S = jax.lax.broadcasted_iota(jnp.int32, (S, 1), 0)
@@ -409,44 +415,54 @@ def _radix_kernel(c0_ref, cols_ref, lrow_ref, vals_ref, xp_ref, y_ref, *,
         hl_sub = (lane128 // kt) % nhl             # scatter-layout hi/lo
 
     def chunk(j, acc):
+        # shared across the ktin K-tiles: chunk DMA (cols/lrow/vals read
+        # ONCE instead of per tile) and every one-hot/mask VPU build — only
+        # the three dots + the product/select scale with ktin
         r0 = pl.multiple_of(c0_ref[0, 0, j] // spr, 8)
         colw = cols_ref[0, pl.ds(j, 1), :]     # (1, G)
         lrow = lrow_ref[0, pl.ds(j, 1), :]
         v = vals_ref[0, pl.ds(j, 1), :]
         sub = colw // spr
         slot = colw % spr
-        x2d = xp_ref[0, pl.ds(r0, S), :]       # (S, 128)
         RT = (iota_S == sub).astype(bf16)      # (S, G) row-group one-hot
-        tmpT = jax.lax.dot_general(
-            x2d, RT, dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=f32)        # (128, G)
-        tsel = jnp.where(lane_slot == slot, tmpT, 0.0).astype(bf16)
-        if wide:
-            xg2 = jax.lax.dot_general(
-                Csum, tsel, dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=f32)    # (nhl*kt, G)
-            if mode == "fp32x2":
-                xg = xg2[:kt, :] + xg2[kt:, :]  # exact x recomposition
-                p = xg * v
-                phi, plo = _split_bf16(p)       # single rounding of v*x
-                c2 = jnp.concatenate([phi, plo], axis=0)   # (2kt, G)
-            else:
-                c2 = (xg2 * v).astype(bf16)     # (kt, G)
-            psel_pre = jnp.concatenate([c2] * ngrp, axis=0)  # (128, G)
-        else:
-            xb = jax.lax.dot_general(
-                Cb, tsel, dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=f32)    # (128, G): x at every slot
-            pb = xb * v                        # f32 product, single rounding
-            if mode == "fp32x2":
-                phi, plo = _split_bf16(pb)
-                psel_pre = jnp.where(hl_sub == 0, phi, plo)
-            else:
-                psel_pre = pb.astype(bf16)
+        slot_mask = lane_slot == slot          # (128, G)
         grp = lrow % ngrp
         rhi = lrow // ngrp
-        psel = jnp.where(lane_grp == grp, psel_pre, bf16(0))
+        grp_mask = lane_grp == grp             # (128, G)
         rowhot = (iota_rbs == rhi).astype(bf16)           # (rbs, G)
+
+        parts = []
+        for ti in range(ktin):
+            x2d = xp_ref[ti, pl.ds(r0, S), :]  # (S, 128)
+            tmpT = jax.lax.dot_general(
+                x2d, RT, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=f32)    # (128, G)
+            tsel = jnp.where(slot_mask, tmpT, 0.0).astype(bf16)
+            if wide:
+                xg2 = jax.lax.dot_general(
+                    Csum, tsel, dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=f32)    # (nhl*kt, G)
+                if mode == "fp32x2":
+                    xg = xg2[:kt, :] + xg2[kt:, :]  # exact x recomposition
+                    p = xg * v
+                    phi, plo = _split_bf16(p)       # single rounding of v*x
+                    c2 = jnp.concatenate([phi, plo], axis=0)   # (2kt, G)
+                else:
+                    c2 = (xg2 * v).astype(bf16)     # (kt, G)
+                psel_pre = jnp.concatenate([c2] * ngrp, axis=0)  # (128, G)
+            else:
+                xb = jax.lax.dot_general(
+                    Cb, tsel, dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=f32)    # (128, G): x at every slot
+                pb = xb * v                        # f32 product, single rounding
+                if mode == "fp32x2":
+                    phi, plo = _split_bf16(pb)
+                    psel_pre = jnp.where(hl_sub == 0, phi, plo)
+                else:
+                    psel_pre = pb.astype(bf16)
+            parts.append(jnp.where(grp_mask, psel_pre, bf16(0)))
+        # one wide scatter dot covers all tiles: (rbs, G).(ktin*128, G)^T
+        psel = parts[0] if ktin == 1 else jnp.concatenate(parts, axis=0)
         return acc + jax.lax.dot_general(
             rowhot, psel, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=f32)
@@ -459,12 +475,12 @@ def _radix_kernel(c0_ref, cols_ref, lrow_ref, vals_ref, xp_ref, y_ref, *,
         def body(i, accs):
             return tuple(chunk(i * unroll + u, accs[u]) for u in range(unroll))
         accs = jax.lax.fori_loop(0, nc // unroll, body,
-                                 tuple(jnp.zeros((rbs, 128), f32) for _ in range(unroll)))
+                                 tuple(jnp.zeros((rbs, ktin * 128), f32) for _ in range(unroll)))
         acc = functools.reduce(jnp.add, accs)
         for r in range((nc // unroll) * unroll, nc):
             acc = chunk(r, acc)
     else:
-        acc = jax.lax.fori_loop(0, nc, chunk, jnp.zeros((rbs, 128), f32))
+        acc = jax.lax.fori_loop(0, nc, chunk, jnp.zeros((rbs, ktin * 128), f32))
     y_ref[0, 0, :, :] = acc
 
 
@@ -488,42 +504,77 @@ def pack_x_radix(x, mode: str, kt: int):
 @functools.partial(
     jax.jit,
     static_argnames=("n_programs", "nc", "g", "rb", "S", "kt", "mode",
-                     "unroll", "interpret"),
+                     "unroll", "ktin", "interpret"),
 )
 def _radix_call(c0, cols3, lrow3, vals3, x, *, n_programs, nc, g, rb,
-                S, kt, mode, unroll, interpret):
+                S, kt, mode, unroll, ktin, interpret):
     spr, nhl, ngrp = radix_geometry(kt, mode)
     rbs = rb // ngrp
     kt_count = x.shape[1] // kt
+    assert kt_count % ktin == 0, (kt_count, ktin)
+    ktg = kt_count // ktin
     xp = pack_x_radix(x, mode, kt)
     nr = xp.shape[1]
     u = unroll if unroll > 1 else 1
     kernel = functools.partial(_radix_kernel, nc=nc, g=g, rbs=rbs, ngrp=ngrp,
-                               S=S, kt=kt, mode=mode, unroll=u)
+                               S=S, kt=kt, mode=mode, unroll=u, ktin=ktin)
     out = pl.pallas_call(
         kernel,
-        grid=(n_programs, kt_count),
-        out_shape=jax.ShapeDtypeStruct((n_programs, kt_count, rbs, 128), jnp.float32),
+        grid=(n_programs, ktg),
+        out_shape=jax.ShapeDtypeStruct((n_programs, ktg, rbs, ktin * 128),
+                                       jnp.float32),
         in_specs=[
             pl.BlockSpec((1, 1, nc), lambda p, t: (p, 0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, nc, g), lambda p, t: (p, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, nc, g), lambda p, t: (p, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, nc, g), lambda p, t: (p, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, nr, 128), lambda p, t: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((ktin, nr, 128), lambda p, t: (t, 0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1, rbs, 128), lambda p, t: (p, t, 0, 0),
+        out_specs=pl.BlockSpec((1, 1, rbs, ktin * 128), lambda p, t: (p, t, 0, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
     )(c0, cols3, lrow3, vals3, xp)
-    # out lanes: (grp, hl, k); row = rhi*ngrp + grp, sum the hl planes
-    y = out.reshape(n_programs, kt_count, rbs, ngrp, nhl, kt)
+    # out lanes within a tile: (grp, hl, k); row = rhi*ngrp + grp, sum hl
+    y = out.reshape(n_programs, ktg, rbs, ktin, ngrp, nhl, kt)
     if nhl == 2:
         y = y[..., 0, :] + y[..., 1, :]
     else:
         y = y[..., 0, :]
-    # (P, T, rbs, ngrp, kt) -> (P, rbs, ngrp, T, kt) -> (P*rb, T*kt)
-    y = y.transpose(0, 2, 3, 1, 4)
+    # (P, Tg, rbs, ktin, ngrp, kt) -> (P, rbs, ngrp, Tg, ktin, kt) -> (P*rb, K)
+    y = y.transpose(0, 2, 4, 1, 3, 5)
     return y.reshape(n_programs * rb, kt_count * kt)
+
+
+def max_ktin(fmt: RadixFormat, kt_count: int, unroll: int) -> int:
+    """Largest legal inner K-tile count: divides kt_count, keeps the
+    resident xp block + chunk blocks within the VMEM budget, keeps the
+    unrolled kernel body from blowing up Mosaic compile time, and stays
+    on the wide-collapse formulation (the narrow one is kt<4 fp32x2 /
+    kt<8 bf16, where kt_count>1 is not a tuned regime).
+
+    NOTE auto stays at ktin=1: sharing the chunk DMA + one-hot builds
+    across inner tiles was measured NEUTRAL-TO-NEGATIVE on v5e (K=32
+    powerlaw 16k²: kt=8 ktin=4 18.1 vs ktin=1 18.9 GF/s; K=64 kt=32
+    ktin=2 27.1 vs 28.9; one +9% case on a denser 32k matrix) — the VLIW
+    pipeline already overlaps the VPU builds with the MXU dots, so the
+    savings don't materialize while the wider scatter grows the working
+    set.  The knob is kept for explicit use; callers pass ktin=."""
+    spr, nhl, _ = radix_geometry(fmt.kt, fmt.mode)
+    if nhl * fmt.kt < 8 or kt_count == 1:
+        return 1
+    n_pad = round_up(fmt.shape[1] + fmt.window, 8 * spr)
+    xp_tile_bytes = (n_pad // spr) * 128 * 2
+    chunk_bytes = fmt.n_chunks * fmt.chunk_g * 12
+    best = 1
+    for cand in (2, 4, 8):
+        if kt_count % cand:
+            continue
+        if cand * xp_tile_bytes + chunk_bytes > 8 * 1024 * 1024:
+            continue
+        if cand * max(unroll, 1) > 16:  # kernel body replicas
+            continue
+        best = cand
+    return best
 
 
 def radix_spmm(
@@ -531,10 +582,13 @@ def radix_spmm(
     x: jnp.ndarray,
     *,
     unroll: int = 4,
+    ktin: int | None = None,
     interpret: bool | None = None,
 ) -> jnp.ndarray:
     """Y[M, K] = A . X[N, K] with A in RadixFormat (kt/mode fixed at pack
-    time; K > kt runs kt-wide tiles on a grid axis)."""
+    time; K > kt runs kt-wide tiles ``ktin`` at a time inside each program
+    — sharing the chunk DMA and every one-hot build across the inner tiles
+    — with the remaining tile groups on a grid axis)."""
     if interpret is None:
         interpret = kernel_backend_interpret()
     m, n_cols = fmt.shape
@@ -544,13 +598,20 @@ def radix_spmm(
     spr, _, _ = radix_geometry(kt, fmt.mode)
     if k % kt:
         x = jnp.pad(x, ((0, 0), (0, kt - k % kt)))
+    kt_count = x.shape[1] // kt
+    if ktin is None:
+        ktin = 1  # measured best default; see max_ktin for the evidence
+    else:
+        ktin = min(ktin, max_ktin(fmt, kt_count, unroll))
+    if kt_count % ktin:
+        ktin = 1
     # window [c0, c0+W) may read past N; rows must also hit 8*spr alignment
     x = pad_dense_rows(x.astype(jnp.float32),
                        round_up(n_cols + fmt.window, 8 * spr))
     y_rows = _radix_call(
         fmt.c0, fmt.cols, fmt.lrow, fmt.vals, x,
         n_programs=fmt.n_programs, nc=fmt.n_chunks, g=fmt.chunk_g,
-        rb=fmt.rb, S=fmt.S, kt=kt, mode=fmt.mode, unroll=unroll,
+        rb=fmt.rb, S=fmt.S, kt=kt, mode=fmt.mode, unroll=unroll, ktin=ktin,
         interpret=interpret,
     )
     slot = jnp.asarray(fmt.slot_of_origrow)
