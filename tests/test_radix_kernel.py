@@ -232,3 +232,40 @@ def test_tune_at_k1_covers_spmv():
     from tpusparse.oracle import spmm_reference
     check_result(np.asarray(res.best(x)),
                  spmm_reference(mat, x.astype(np.float64)), rtol=2e-3)
+
+
+@pytest.mark.parametrize("deal", ["length", "index", "blocks"])
+def test_radix_deal_modes(deal):
+    # includes empty rows (rows 3, 17 unused) so the affine verification's
+    # unoccupied-slot escape is exercised
+    rng = np.random.default_rng(7)
+    m, n, k = 260, 300, 8
+    nnz = 1500
+    rows = rng.integers(0, m, nnz)
+    rows = rows[(rows != 3) & (rows != 17)]
+    cols = rng.integers(0, n, rows.size)
+    vals = rng.standard_normal(rows.size)
+    mat = CooMatrix(rows, cols, vals, (m, n)).dedup()
+    x = rng.standard_normal((n, k)).astype(np.float32)
+    fmt = pack_radix(mat, rb=128, S=16, g=128, kt=8, deal=deal)
+    if deal == "length":
+        assert fmt.deal == "arbitrary"   # gather path (measured fastest)
+    else:
+        assert fmt.deal == deal          # affine unpack verified
+    y = np.asarray(radix_spmm(fmt, x))
+    check_result(y, spmm_reference(mat, x.astype(np.float64)), rtol=2e-3)
+    assert np.all(y[3] == 0) and np.all(y[17] == 0)
+
+
+def test_radix_deal_affine_falls_back_after_sort():
+    # a metadata-set row sort permutes the recovery map -> affine unpack
+    # must be rejected and the gather fallback used
+    from tpusparse.schedule import Schedule, build_plan
+
+    mat, x = _case(m=300, n=300, k=8, seed=12)
+    plan = build_plan(mat, Schedule(family="radix_span", rb=128, sublanes=16,
+                                    g=128, ktile=8, sort=True),
+                      interpret=True)
+    assert plan.formats[0].deal == "arbitrary"
+    check_result(np.asarray(plan(x)),
+                 spmm_reference(mat, x.astype(np.float64)), rtol=2e-3)

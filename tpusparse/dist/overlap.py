@@ -543,7 +543,7 @@ def build_halo_radix_spmm(
             part = _radix_call(
                 sub[0], sub[1], sub[2], sub[3], x_cur,
                 n_programs=p_loc, nc=nc, g=g, rb=rb, S=S, kt=kt, mode=mode,
-                unroll=unroll, interpret=interpret,
+                unroll=unroll, ktin=1, interpret=interpret,
             )
             return x_next, y + part
 

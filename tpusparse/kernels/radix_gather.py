@@ -123,6 +123,13 @@ class RadixFormat:
     shape: tuple[int, int]
     nnz_real: int
     perm_of_nz: Any = None
+    # how output rows map back to original rows (verified at pack time):
+    #   'blocks'    slot == row               -> y_rows[:m], no gather
+    #   'index'     slot == (r%P)*rb + r//P   -> reshape+transpose, no gather
+    #   'arbitrary' anything else             -> jnp.take through slot map
+    # the gather costs ~280 us at M=32k on the tunnel — a third of the
+    # whole headline call — so the affine deals matter
+    deal: str = "arbitrary"
 
     @property
     def padding_rate(self) -> float:
@@ -150,12 +157,25 @@ def pack_radix(
     kt: int = 8,
     mode: str = "fp32x2",
     balance: bool = True,
+    deal: str | None = None,
     keep_perm: bool = False,
 ) -> RadixFormat:
     """Pack into RadixFormat.  Reuses the span dealing+chunking machinery
     (native or numpy) with the window budget shrunk by the 8*spr
     alignment, then realigns each chunk's c0 down to the alignment
-    boundary (padding cols stay < W, their vals are 0)."""
+    boundary (padding cols stay < W, their vals are 0).
+
+    ``deal`` picks the row->program assignment: 'length' (sorted-by-length
+    round-robin, best nnz balance, output needs a row gather), 'index'
+    (round-robin by row index: slot = (r%P)*rb + r//P, output unpermutes
+    with a free reshape+transpose), 'blocks' (contiguous row blocks, no
+    unpermute at all), or None = auto: 'length' when multi-program,
+    'blocks' single-program or ``balance=False``.  Measured on the 32k
+    power-law headline (interleaved min-of-4): 'length' 599 us vs 'index'
+    741 us — the per-program chunk straggler under index dealing (42 vs
+    33 chunks) costs more than the output row-gather it avoids (XLA
+    overlaps the gather with the kernel; removing it alone changed
+    nothing: 796 vs 786 us)."""
     from tpusparse.io.mtx import CooMatrix
     from tpusparse.kernels.span_gather import span_chunk_numpy
     from tpusparse.levels import Level
@@ -192,7 +212,11 @@ def pack_radix(
     # to 8*spr below never pushes a column past the window
     span_budget = W - align
 
-    if balance and row_num:
+    if deal is None:
+        deal = "length" if (balance and p_count > 1) else "blocks"
+    assert deal in ("length", "index", "blocks"), deal
+
+    if deal == "length" and row_num:
         lengths = np.bincount(rows, minlength=row_num)
         by_len = np.argsort(-lengths, kind="stable")
         p_of_row = np.empty(row_num, dtype=np.int64)
@@ -203,6 +227,11 @@ def pack_radix(
         p_arr = p_of_row[rows]
         lrow_arr = lrow_of_row[rows]
         slot_of_local = p_of_row * rb + lrow_of_row
+    elif deal == "index" and row_num:
+        p_arr = rows % p_count
+        lrow_arr = rows // p_count
+        r = np.arange(row_num)
+        slot_of_local = (r % p_count) * rb + r // p_count
     else:
         p_arr = rows // rb
         lrow_arr = rows % rb
@@ -237,6 +266,27 @@ def pack_radix(
     keep = rec >= 0
     slot_of_origrow[rec[keep]] = slot_of_local[keep].astype(np.int32)
 
+    # verify the affine unpack actually holds for the original row space
+    # (a metadata-set sort permutes rec and breaks it -> gather fallback).
+    # Rows with slot -1 (empty / absent) are fine iff their affine slot is
+    # unoccupied: the scatter one-hot never writes there, so it reads 0.
+    def _affine_ok(aff):
+        if out_rows > p_count * rb:
+            return False
+        got = slot_of_origrow >= 0
+        if not np.array_equal(slot_of_origrow[got], aff[got]):
+            return False
+        occ = np.zeros(p_count * rb, dtype=bool)
+        occ[slot_of_origrow[got]] = True
+        return not occ[aff[~got]].any()
+
+    unpack = "arbitrary"
+    ar = np.arange(out_rows, dtype=np.int64)
+    if deal == "blocks" and _affine_ok(ar):
+        unpack = "blocks"
+    elif deal == "index" and _affine_ok((ar % p_count) * rb + ar // p_count):
+        unpack = "index"
+
     return RadixFormat(
         c0=jnp.asarray(c0_2d[:, None, :]),
         cols=jnp.asarray(cols_f),
@@ -255,6 +305,7 @@ def pack_radix(
         nnz_real=int(np.count_nonzero(vals_f)),
         perm_of_nz=(None if dest_sorted is None
                     else np.asarray(dest_sorted)[np.argsort(order, kind="stable")]),
+        deal=unpack,
     )
 
 
@@ -486,18 +537,30 @@ def _radix_kernel(c0_ref, cols_ref, lrow_ref, vals_ref, xp_ref, y_ref, *,
 
 def pack_x_radix(x, mode: str, kt: int):
     """Pack padded X (rows multiple of 8*spr, cols multiple of kt) into the
-    lane layout: (kt_count, N/spr, 128)."""
+    lane layout: (kt_count, N/spr, 128).
+
+    The target lane index hl*64 + (row%spr)*kt + k is ROW-MAJOR in
+    (row%spr, k), so each K-tile packs as a plain reshape (lane merge)
+    plus one lane concat for the hi/lo halves — no element transpose.
+    The original 5D-transpose formulation measured 285 us at the 32k
+    headline (a third of the whole call); this one is a relayout XLA
+    handles natively."""
     n, k = x.shape
     spr, nhl, _ = radix_geometry(kt, mode)
     kt_count = k // kt
     if mode == "fp32x2":
         xh, xl = _split_bf16(x)
-        arr = jnp.stack([xh, xl], 0)                     # (2, N, K)
-        arr = arr.reshape(2, n // spr, spr, kt_count, kt)
-        xp = arr.transpose(3, 1, 0, 2, 4).reshape(kt_count, n // spr, 128)
+
+        def tile(t):
+            h = xh[:, t * kt:(t + 1) * kt].reshape(n // spr, 64)
+            lo = xl[:, t * kt:(t + 1) * kt].reshape(n // spr, 64)
+            return jnp.concatenate([h, lo], axis=1)
+
+        xp = jnp.stack([tile(t) for t in range(kt_count)], 0)
     else:
-        arr = x.astype(jnp.bfloat16).reshape(n // spr, spr, kt_count, kt)
-        xp = arr.transpose(2, 0, 1, 3).reshape(kt_count, n // spr, 128)
+        xb = x.astype(jnp.bfloat16)
+        xp = jnp.stack([xb[:, t * kt:(t + 1) * kt].reshape(n // spr, 128)
+                        for t in range(kt_count)], 0)
     return xp
 
 
@@ -614,8 +677,16 @@ def radix_spmm(
         rb=fmt.rb, S=fmt.S, kt=kt, mode=fmt.mode, unroll=unroll, ktin=ktin,
         interpret=interpret,
     )
-    slot = jnp.asarray(fmt.slot_of_origrow)
-    oob = y_rows.shape[0]
-    slot = jnp.where(slot < 0, oob, slot)
-    y = jnp.take(y_rows, slot, axis=0, mode="fill", fill_value=0)
+    if fmt.deal == "blocks":
+        y = y_rows[:m]
+    elif fmt.deal == "index":
+        # slot = (r%P)*rb + r//P: invert with a free reshape+transpose
+        P = fmt.n_programs
+        y = (y_rows.reshape(P, fmt.rb, y_rows.shape[1])
+             .transpose(1, 0, 2).reshape(P * fmt.rb, -1)[:m])
+    else:
+        slot = jnp.asarray(fmt.slot_of_origrow)
+        oob = y_rows.shape[0]
+        slot = jnp.where(slot < 0, oob, slot)
+        y = jnp.take(y_rows, slot, axis=0, mode="fill", fill_value=0)
     return y[:, :k]
