@@ -55,6 +55,31 @@ def power_law_coo(
     return _finish(rows, cols, vals, (m, n))
 
 
+def power_law_col_coo(
+    m: int,
+    n: int,
+    avg_nnz_per_row: float,
+    alpha: float = 1.6,
+    seed: int = 0,
+) -> CooMatrix:
+    """Skewed (Zipf-ish) COLUMN-popularity distribution with uniform rows —
+    the web-graph / social-graph class (in-link counts are power-law), and
+    exactly what a push-oriented graph matrix looks like when out-degrees
+    are power-law (the transpose of ``power_law_coo``).  A few hot columns
+    carry most of the nnz, which the hybrid_cols schedule family exploits
+    by MXU-densifying the hot-column panel."""
+    rng = np.random.default_rng(seed)
+    nnz = int(avg_nnz_per_row * m)
+    # zipf column popularity, shuffled so hot columns are scattered
+    pop = 1.0 / np.arange(1, n + 1, dtype=np.float64) ** alpha
+    pop /= pop.sum()
+    perm = rng.permutation(n)
+    cols = perm[rng.choice(n, size=nnz, p=pop)]
+    rows = rng.integers(0, m, size=nnz, dtype=np.int64)
+    vals = rng.standard_normal(nnz)
+    return _finish(rows, cols.astype(np.int64), vals, (m, n))
+
+
 def banded_coo(m: int, n: int, bandwidth: int, fill: float = 0.6, seed: int = 0) -> CooMatrix:
     """Banded matrix: nnz clustered within +-bandwidth of the diagonal."""
     rng = np.random.default_rng(seed)

@@ -175,10 +175,25 @@ def default_candidates(mat: CooMatrix, k: int, *, full: bool = False) -> list[Sc
                                   ct=512, g=256, unroll=4))
         cands.append(Schedule(family="nnz_segment", work_per_block=2048, unroll=8))
         cands.append(Schedule(family="bucketed", bucket_bounds=(max(int(8 * avg_len), 32),)))
+    # hot-column hybrid — when a small set of columns carries a large nnz
+    # share (web-graph class), a dense (M, C) MXU panel over the hot
+    # columns + a sparse remainder beats the pure one-hot path (the panel
+    # needs no gather at all); gate on measured column concentration
+    m, n = mat.shape
+    if mat.nnz and n > 256:
+        ccounts = np.bincount(mat.cols, minlength=n)
+        top = np.sort(ccounts)[-128:]
+        share128 = float(top.sum()) / mat.nnz
+        # skew = concentration relative to the uniform expectation 128/n
+        if share128 > max(0.25, 2.5 * 128 / n) or full:
+            for C in dict.fromkeys((512, 2048, max(128, (n // 8) & ~127))):
+                if 128 <= C < n and m * C * 4 <= 512 * 1024 * 1024:
+                    cands.append(Schedule(family="hybrid_cols", hot_cols=C,
+                                          unroll=4, ktile=(choose_kt(k)
+                                                           if k <= 128 else None)))
     # dense MXU matmul — wins at high density or large K where the one-hot
     # gather exceeds the dense product's FLOPs; gate on densified HBM size
     # (densification happens on device for large A)
-    m, n = mat.shape
     if m * n * 2 <= 4 * 1024 ** 3 and (mat.density > 0.02 or k >= 256 or full):
         cands.append(Schedule(family="dense", precision="bf16"))
     # block-ELL MXU path — candidate when nz cluster into dense 128-blocks
