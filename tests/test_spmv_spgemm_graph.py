@@ -44,6 +44,17 @@ def test_spgemm_tiled():
     )
 
 
+def test_spgemm_tuned_a_plan():
+    # tune_a=True routes A through the min-time tuner (budget-capped)
+    a = builder.power_law_coo(120, 90, avg_nnz_per_row=5.0, seed=5)
+    b = builder.power_law_coo(90, 150, avg_nnz_per_row=4.0, seed=6)
+    c = spgemm(a, b, tune_a=True, tune_budget=2)
+    want = spgemm_reference(a, b)
+    np.testing.assert_allclose(
+        c.to_dense(np.float64), want.to_dense(np.float64), rtol=1e-4, atol=1e-4
+    )
+
+
 def _path_graph(n):
     """Directed path 0->1->...->n-1 in push orientation ((u,v) = edge v->u)."""
     src = np.arange(n - 1, dtype=np.int64)

@@ -30,22 +30,34 @@ def spgemm(
     *,
     tile_cols: int = 128,
     plan=None,
+    tune_a: bool = False,
+    tune_budget: int = 6,
     threshold: float = 0.0,
 ) -> CooMatrix:
     """C[M, P] = A[M, N] . B[N, P]; returns COO, row-major sorted.
 
     A's plan defaults to the benched champion for K=tile_cols
-    (default_schedule — radix at 128); pass ``plan=tune(a, ...).best`` for
-    the autotuned path.  Result tiles are re-sparsified ON DEVICE: only a
-    scalar count plus the packed (row, col, val) triplets travel to the
-    host, not the dense tile (VERDICT r1 weak #7)."""
+    (default_schedule); ``tune_a=True`` min-times ``tune_budget``
+    candidates at K=tile_cols first (the winner is cached per matrix
+    signature, so repeated spgemm calls with the same A pay once), or
+    pass ``plan=tune(a, ...).best`` explicitly.  Result tiles are
+    re-sparsified ON DEVICE: only a scalar count plus the packed
+    (row, col, val) triplets travel to the host, not the dense tile
+    (VERDICT r1 weak #7)."""
     m, n = a.shape
     nb, p = b.shape
     assert n == nb, f"inner dims mismatch: A cols {n} != B rows {nb}"
     if plan is None:
-        from tpusparse.schedule import build_plan, default_schedule
+        if tune_a:
+            from tpusparse.tune import tune
 
-        plan = build_plan(a, default_schedule(a, tile_cols))
+            x0 = np.random.default_rng(0).standard_normal(
+                (n, tile_cols)).astype(np.float32)
+            plan = tune(a, x0, budget=tune_budget, iters=5).best
+        else:
+            from tpusparse.schedule import build_plan, default_schedule
+
+            plan = build_plan(a, default_schedule(a, tile_cols))
 
     import jax
     import jax.numpy as jnp
