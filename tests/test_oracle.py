@@ -57,3 +57,35 @@ def test_check_result_passes_and_fails():
     check_result(a, a)
     with pytest.raises(AssertionError):
         check_result(a + 1.0, a, rtol=1e-3)
+
+
+def test_check_result_condition_scale():
+    # a cancellation-heavy output: terms +100.0003, -100 -> want ~ 0.0003;
+    # bf16-level rounding of the terms gives ~0.4 absolute error, which no
+    # pure-relative tolerance passes but the |A|.|x| scale (200) admits
+    want = np.array([[0.0003]])
+    got = np.array([[0.4]])
+    with pytest.raises(AssertionError):
+        check_result(got, want, rtol=1e-2)
+    check_result(got, want, rtol=1e-2, scale=np.array([[200.0]]))
+    # the scale denominator still rejects genuinely wrong results
+    with pytest.raises(AssertionError):
+        check_result(np.array([[5.0]]), want, rtol=1e-2,
+                     scale=np.array([[200.0]]))
+
+
+def test_tune_bf16_candidate_uses_condition_scale():
+    # a bf16 schedule whose representation error exceeds 1e-2 relative on
+    # cancellation-heavy outputs must still validate (it shares the error
+    # with every bf16 method), while fp32x2 candidates keep the tight gate
+    from tpusparse.tune import tune
+
+    mat = builder.power_law_col_coo(600, 600, avg_nnz_per_row=10.0,
+                                    alpha=1.6, seed=3)
+    x = np.random.default_rng(4).standard_normal((600, 8)).astype(np.float32)
+    res = tune(mat, x, iters=2, validate=True, budget=4, use_cache=False,
+               interpret=True)
+    stats = {(r["schedule"]["family"], r["schedule"].get("precision")):
+             r.get("ok") for r in res.table}
+    assert any(ok for (fam, prec), ok in stats.items()
+               if fam == "hybrid_cols" and prec == "bf16")

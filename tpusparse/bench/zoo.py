@@ -26,6 +26,10 @@ def zoo(quick: bool = False):
         "wide": builder.power_law_coo(s // 4, 4 * s, avg_nnz_per_row=8.0, seed=5),
         "extreme_skew": builder.power_law_coo(s, s, avg_nnz_per_row=16.0, alpha=1.2,
                                               seed=6),
+        # web-graph class: power-law COLUMN popularity (in-link counts) —
+        # the hybrid_cols family's home turf (hot-column dense MXU panel)
+        "col_skew": builder.power_law_col_coo(s, s, avg_nnz_per_row=16.0,
+                                              alpha=1.6, seed=9),
         "banded": builder.banded_coo(s, s, bandwidth=32, seed=7),
         "blocky": builder.block_sparse_coo(s // 2, s // 2, block=128,
                                            block_density=0.08, seed=8),

@@ -127,8 +127,10 @@ class RadixFormat:
     #   'blocks'    slot == row               -> y_rows[:m], no gather
     #   'index'     slot == (r%P)*rb + r//P   -> reshape+transpose, no gather
     #   'arbitrary' anything else             -> jnp.take through slot map
-    # the gather costs ~280 us at M=32k on the tunnel — a third of the
-    # whole headline call — so the affine deals matter
+    # measured at the 32k headline: XLA overlaps the 'arbitrary' gather
+    # with the kernel, so 'length' dealing (best balance) + gather beats
+    # the affine deals (see pack_radix docstring); affine stays available
+    # for callers that need a gather-free output (e.g. fori_loop bodies)
     deal: str = "arbitrary"
 
     @property

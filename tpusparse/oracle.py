@@ -78,12 +78,17 @@ def check_result(
     *,
     rtol: float | None = None,
     dtype=None,
+    scale: np.ndarray | None = None,
     what: str = "result",
 ) -> None:
     """Relative-error check (reference: check_result, kernel_lib.hpp:885-921).
 
     Uses max(|want|, 1) as the denominator like the reference, so zero rows
-    don't blow up.  Raises AssertionError with a summary on failure.
+    don't blow up.  ``scale`` (same shape as ``want``) optionally raises the
+    denominator to a condition-aware bound — pass |A|·|x| so low-precision
+    storage is judged by the numerically attainable error eps·Σ|terms|
+    rather than pure relative error, which no rounded method can meet on
+    cancellation-heavy outputs.  Raises AssertionError on failure.
     """
     got = np.asarray(got, dtype=np.float64)
     want = np.asarray(want, dtype=np.float64)
@@ -91,6 +96,8 @@ def check_result(
     if rtol is None:
         rtol = tolerance_for(dtype if dtype is not None else np.float32)
     denom = np.maximum(np.abs(want), 1.0)
+    if scale is not None:
+        denom = np.maximum(denom, np.asarray(scale, dtype=np.float64))
     rel = np.abs(got - want) / denom
     bad = rel > rtol
     if bad.any():
