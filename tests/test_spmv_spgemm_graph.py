@@ -158,3 +158,33 @@ def test_spgemm_device_resparsify_matches_scipy_style():
     got = c.to_dense(np.float64)
     # default plan precision is fp32x2 (~2e-3 relative class)
     np.testing.assert_allclose(got, want, rtol=2e-3, atol=1e-5)
+
+
+def test_sssp_path_graph():
+    # path 0->1->...->4 with weight 2.0 per edge: d[i] = 2*i
+    from tpusparse.graph import sssp
+
+    n = 5
+    g = _path_graph(n)
+    g = CooMatrix(g.rows, g.cols, np.full(g.nnz, 2.0, np.float32), g.shape)
+    d = sssp(g, 0)
+    np.testing.assert_allclose(d, 2.0 * np.arange(n))
+
+
+def test_sssp_matches_scipy():
+    from scipy.sparse.csgraph import dijkstra
+
+    from tpusparse.graph import sssp
+
+    rng = np.random.default_rng(3)
+    n, nnz = 60, 400
+    rows = rng.integers(0, n, nnz)
+    cols = rng.integers(0, n, nnz)
+    vals = rng.uniform(0.1, 5.0, nnz).astype(np.float32)
+    keep = rows != cols
+    # push orientation (u, v) = edge v->u; scipy wants (src, dst) so
+    # dijkstra runs on the transpose
+    mat = CooMatrix(rows[keep], cols[keep], vals[keep], (n, n)).dedup()
+    d = sssp(mat, 7)
+    want = dijkstra(mat.to_scipy().T.tocsr(), indices=7)
+    np.testing.assert_allclose(d, want.astype(np.float32), rtol=1e-5)

@@ -172,6 +172,47 @@ def bfs_fn(mat: CooMatrix, max_iter: int | None = None):
     return run
 
 
+def sssp(mat: CooMatrix, source: int, max_iter: int | None = None) -> np.ndarray:
+    """Single-source shortest-path distances (+inf = unreachable) by
+    Bellman-Ford-style min_plus relaxation over the semiring matvec.
+
+    ``mat`` in push orientation (entry (u, v) = nonneg edge weight v->u):
+    each step relaxes d[u] = min(d[u], min_v(w(u,v) + d[v])).  The
+    reference carries only the semiring config hook
+    (global_config.json.bak Semiring); this wires it to an algorithm."""
+    d, _ = sssp_fn(mat, max_iter=max_iter)(source)
+    return np.asarray(d)
+
+
+def sssp_fn(mat: CooMatrix, max_iter: int | None = None):
+    """Jitted ``run(source) -> (dist, n_iters)`` for repeated SSSP over one
+    matrix (min_plus semiring path — XLA segment_min; the MXU dot cannot
+    implement min, see matvec_plan)."""
+    n = mat.shape[0]
+    assert mat.shape[0] == mat.shape[1], "SSSP needs a square adjacency"
+    if max_iter is None:
+        max_iter = min(get_config().graph_max_iter, n)
+    fn = matvec_plan(mat, semiring="min_plus")
+
+    def cond(state):
+        d, changed, it = state
+        return jnp.logical_and(changed, it < max_iter)
+
+    def body(state):
+        d, _, it = state
+        nxt = jnp.minimum(d, fn(d))
+        return nxt, (nxt < d).any(), it + 1
+
+    @jax.jit
+    def run(source):
+        d0 = jnp.full((n,), jnp.inf, jnp.float32).at[source].set(0.0)
+        d, _, it = jax.lax.while_loop(cond, body, (d0, jnp.bool_(True),
+                                                   jnp.int32(0)))
+        return d, it
+
+    return run
+
+
 def pagerank(
     mat: CooMatrix,
     damping: float = 0.85,
