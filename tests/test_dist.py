@@ -142,3 +142,14 @@ def test_halo_radix_ring():
         fn2, put2 = build_halo_radix_spmm(fmt, mesh2, kt=8)
         y2 = np.asarray(fn2(*put2(jnp.asarray(x))))[:, :16]
         check_result(y2, want, rtol=2e-3)
+
+
+def test_train_step_dp_tp():
+    # the driver-facing dp x tp training step: grads flow through the
+    # sparse custom-VJP kernel inside shard_map; loss must decrease
+    import __graft_entry__ as ge
+
+    mat = builder.power_law_coo(128, 96, avg_nnz_per_row=6.0, seed=3)
+    mesh = make_mesh(4, 2)
+    losses = ge._train_step_dryrun(mesh, mat, steps=3)
+    assert losses[-1] < losses[0], losses
