@@ -1,0 +1,111 @@
+"""Trainable sparse values: SDDMM value-grad + transpose-free input-grad.
+
+Validates kernels/sddmm.py and autodiff.spmm_trainable against the dense
+formulas  dL/dA = dY . X^T (sampled)  and  dL/dX = A^T . dY.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpusparse.autodiff import spmm_trainable
+from tpusparse.io import builder
+from tpusparse.kernels.sddmm import packed_to_nz
+from tpusparse.oracle import check_result, spmm_reference
+
+
+def _rel_err(got, want, floor=1e-3):
+    got = np.asarray(got)
+    want = np.asarray(want)
+    return float(np.max(np.abs(got - want) / (np.abs(want) + floor)))
+
+
+@pytest.mark.parametrize("k,ktile", [(12, None), (20, 8)])
+def test_trainable_grads_match_dense(k, ktile):
+    mat = builder.power_law_coo(300, 260, avg_nnz_per_row=5.0, seed=0)
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((260, k)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((300, k)), jnp.float32)
+
+    fn, v0 = spmm_trainable(mat, rb=64, ct=128, g=64)
+    want = spmm_reference(mat, np.asarray(x, np.float64))
+    check_result(np.asarray(fn(v0, x)), want, rtol=1e-3)
+
+    dv, dx = jax.grad(lambda v, x: jnp.sum(fn(v, x) * w), argnums=(0, 1))(v0, x)
+    dA = np.asarray(w) @ np.asarray(x).T
+    assert _rel_err(packed_to_nz(fn.fmt, dv), dA[mat.rows, mat.cols]) < 3e-2
+    assert _rel_err(dx, mat.to_dense().T @ np.asarray(w)) < 3e-2
+    del ktile  # ktile is exercised through the layer test below
+
+
+def test_sddmm_ktiled_accumulation():
+    # K > ktile: the grad kernels accumulate over K-tile grid steps
+    from tpusparse.kernels.sddmm import origrow_of_slot, span_dx, span_sddmm
+    from tpusparse.kernels.span_gather import pack_span
+
+    mat = builder.power_law_coo(200, 180, avg_nnz_per_row=4.0, seed=3)
+    rng = np.random.default_rng(4)
+    k = 24
+    x = jnp.asarray(rng.standard_normal((180, k)), jnp.float32)
+    dy = jnp.asarray(rng.standard_normal((200, k)), jnp.float32)
+    fmt = pack_span(mat, rb=64, ct=128, g=64, keep_perm=True)
+    dy_slots = jnp.take(dy, jnp.asarray(origrow_of_slot(fmt)), axis=0,
+                        mode="fill", fill_value=0)
+
+    dv = span_sddmm(fmt, dy_slots, x, ktile=8)
+    dA = np.asarray(dy) @ np.asarray(x).T
+    assert _rel_err(packed_to_nz(fmt, dv), dA[mat.rows, mat.cols]) < 3e-2
+
+    dx = span_dx(fmt, fmt.vals, dy_slots, ktile=8)
+    assert _rel_err(dx, mat.to_dense().T @ np.asarray(dy)) < 3e-2
+
+
+def test_trainable_values_with_explicit_zero():
+    # a stored zero is a real trainable position: its value-grad must be
+    # kept (occupancy mask comes from the packing permutation, not vals!=0)
+    rows = np.array([0, 0, 1, 2], dtype=np.int64)
+    cols = np.array([0, 2, 1, 3], dtype=np.int64)
+    vals = np.array([1.0, 0.0, 2.0, -1.0], dtype=np.float32)
+    from tpusparse.io.mtx import CooMatrix
+
+    mat = CooMatrix(rows=rows, cols=cols, vals=vals, shape=(3, 8))
+    fn, v0 = spmm_trainable(mat, rb=8, ct=16, g=8)
+    x = jnp.asarray(np.eye(8, 4, dtype=np.float32))
+    dv = jax.grad(lambda v: jnp.sum(fn(v, x)))(v0)
+    nz = packed_to_nz(fn.fmt, dv)
+    # dL/dv[nz=(r,c)] = sum_k x[c, k]; col 2 has x[2, :4].sum() == 1
+    assert nz[1] != 0.0
+
+
+def test_trainable_layer_trains():
+    import optax
+
+    from tpusparse.nn import TrainableSparseLinear
+
+    w = builder.pruned_weight_coo(48, 40, sparsity=0.8, seed=5)
+    layer = TrainableSparseLinear(w, rb=16, ct=64, g=32)
+    params = layer.init()
+    rng = np.random.default_rng(6)
+    x = jnp.asarray(rng.standard_normal((4, 5, 40)), jnp.float32)
+    t = jnp.asarray(rng.standard_normal((4, 5, 48)), jnp.float32)
+
+    opt = optax.adam(5e-2)
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def step(params, opt_state):
+        loss, grads = jax.value_and_grad(
+            lambda p: jnp.mean((layer.apply(p, x) - t) ** 2))(params)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    losses = []
+    for _ in range(30):
+        params, opt_state, loss = step(params, opt_state)
+        losses.append(float(loss))
+    assert losses[-1] < 0.7 * losses[0], losses
+    # exported values stay in COO order and differ from the originals
+    out = layer.export_vals(params)
+    assert out.shape == (w.nnz,)
+    assert np.abs(out - np.asarray(w.vals)).max() > 1e-4

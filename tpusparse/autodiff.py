@@ -51,3 +51,57 @@ def spmm_fn(mat: CooMatrix, schedule=None, t_schedule=None, *, interpret=None,
 
     spmm.defvjp(fwd, bwd)
     return spmm
+
+
+def spmm_trainable(mat: CooMatrix, *, rb: int = 512, ct: int = 512,
+                   g: int = 128, precision: str = "fp32x2",
+                   interpret=None, k_hint: int | None = None):
+    """Trainable-values SpMM: ``fn(v, x) -> A(v) @ x`` differentiable in
+    BOTH arguments over a fixed sparsity pattern (pruned-LLM fine-tuning).
+
+    Returns ``(fn, v0)`` where ``v0`` [P, NC, G] float32 is the packed
+    value plane (the parameter — hand it to your optimizer) holding
+    ``mat.vals``.  Gradients:
+
+      dv = SDDMM(pattern; dY, X)   (kernels/sddmm.span_sddmm, masked)
+      dX = A(v)^T @ dY             (kernels/sddmm.span_dx — the transpose
+                                    apply over the SAME format, so v never
+                                    needs repacking into a transposed layout)
+
+    Checkpoint back to COO order with
+    ``kernels.sddmm.packed_to_nz(fmt, v)``; the format is returned as
+    ``fn.fmt``.  Span-family VMEM gate applies (X resident, ~6 MB).
+    """
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tpusparse.kernels import sddmm as _sddmm
+    from tpusparse.kernels.span_gather import pack_span, span_spmm
+
+    del k_hint  # ktile follows x at call time, as in span_spmm
+    fmt = pack_span(mat, rb=rb, ct=ct, g=g, keep_perm=True)
+    mask = jnp.asarray(_sddmm.occupancy_mask(fmt))
+    inv_slot = jnp.asarray(_sddmm.origrow_of_slot(fmt))
+    v0 = jnp.asarray(fmt.vals, jnp.float32)
+
+    @jax.custom_vjp
+    def fn(v, x):
+        return span_spmm(fmt, x, precision=precision, interpret=interpret,
+                         vals=v * mask)
+
+    def fwd(v, x):
+        return fn(v, x), (v, x)
+
+    def bwd(res, dy):
+        v, x = res
+        # dY rows into slot order once; both grad kernels consume slots
+        dy_slots = jnp.take(dy, inv_slot, axis=0, mode="fill", fill_value=0)
+        dv = _sddmm.span_sddmm(fmt, dy_slots, x, precision=precision,
+                               interpret=interpret) * mask
+        dx = _sddmm.span_dx(fmt, v * mask, dy_slots, precision=precision,
+                            interpret=interpret)
+        return dv, dx
+
+    fn.defvjp(fwd, bwd)
+    fn.fmt = fmt
+    return fn, v0

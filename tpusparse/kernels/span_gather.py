@@ -387,13 +387,18 @@ def span_spmm(
     unroll: int = 4,
     interpret: bool | None = None,
     stream: bool = False,
+    vals=None,
 ) -> jnp.ndarray:
     """Y[M, K] = A . X[N, K] with A in SpanFormat.
 
     ``stream=True`` uses the grid-axis chunk variant (per-chunk index DMA);
     the default fori-loop variant keeps the whole chunk list VMEM-resident
-    and benches slightly faster on v5e."""
+    and benches slightly faster on v5e.  ``vals`` overrides the packed
+    [P, NC, G] value plane (a traced array — the trainable-values path,
+    kernels/sddmm.py)."""
     assert precision in PRECISIONS, precision
+    if vals is None:
+        vals = fmt.vals
     if interpret is None:
         interpret = kernel_backend_interpret()
     m, n_cols = fmt.shape
@@ -407,14 +412,14 @@ def span_spmm(
     x = pad_dense_rows(x.astype(jnp.float32), round_up(n_cols, 8) + fmt.ct)
     if stream:
         y_rows = _span_call_stream(
-            fmt.c0, fmt.cols, fmt.lrow, fmt.vals, x,
+            fmt.c0, fmt.cols, fmt.lrow, vals, x,
             n_programs=fmt.n_programs, nc=fmt.n_chunks, g=fmt.chunk_g,
             rb=fmt.rb, ct=fmt.ct, ktile=ktile, mode=precision,
             interpret=interpret,
         )
     else:
         y_rows = _span_call(
-            fmt.c0, fmt.cols, fmt.lrow, fmt.vals, x,
+            fmt.c0, fmt.cols, fmt.lrow, vals, x,
             n_programs=fmt.n_programs, nc=fmt.n_chunks, g=fmt.chunk_g,
             rb=fmt.rb, ct=fmt.ct, ktile=ktile, mode=precision,
             unroll=unroll, interpret=interpret,

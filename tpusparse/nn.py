@@ -167,3 +167,58 @@ class SparseLinear:
         if self.bias is not None:
             y = y + self.bias
         return y
+
+
+class TrainableSparseLinear:
+    """Fixed-pattern, trainable-values sparse layer (init/apply style).
+
+    The pruned-LLM fine-tuning story: the sparsity PATTERN is frozen (as the
+    pruning left it) and the surviving values train.  Parameters live in the
+    span format's packed [P, NC, G] plane (kernels/sddmm.py), so the
+    optimizer step touches device arrays only — no repacking, ever.
+
+        layer = TrainableSparseLinear(w_coo)
+        params = layer.init()                  # {'vals': ..., 'bias': ...}
+        y = layer.apply(params, x)             # any leading batch dims
+        grads = jax.grad(loss)(params, ...)    # dvals via the SDDMM kernel
+
+    Export trained values in COO order with ``layer.export_vals(params)``.
+    """
+
+    def __init__(self, mat: CooMatrix, *, bias: bool = True,
+                 rb: int = 512, ct: int = 512, g: int = 128,
+                 precision: str = "fp32x2", interpret=None):
+        from tpusparse.autodiff import spmm_trainable
+
+        self._fn, self._v0 = spmm_trainable(
+            mat, rb=rb, ct=ct, g=g, precision=precision, interpret=interpret)
+        self.out_features, self.in_features = mat.shape
+        self._with_bias = bias
+
+    @property
+    def fmt(self):
+        return self._fn.fmt
+
+    def init(self) -> dict:
+        params = {"vals": self._v0}
+        if self._with_bias:
+            params["bias"] = jnp.zeros((self.out_features,), jnp.float32)
+        return params
+
+    def apply(self, params: dict, x) -> jnp.ndarray:
+        x = jnp.asarray(x)
+        lead = x.shape[:-1]
+        assert x.shape[-1] == self.in_features, (
+            f"last dim {x.shape[-1]} != in_features {self.in_features}")
+        xk = x.reshape(-1, self.in_features).T        # [in, K]
+        y = self._fn(params["vals"], xk).T            # [K, out]
+        y = y.reshape(*lead, self.out_features)
+        if self._with_bias:
+            y = y + params["bias"]
+        return y
+
+    def export_vals(self, params: dict) -> np.ndarray:
+        """Trained values in the original COO nz order (checkpointing)."""
+        from tpusparse.kernels.sddmm import packed_to_nz
+
+        return packed_to_nz(self.fmt, params["vals"])
