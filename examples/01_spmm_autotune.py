@@ -2,6 +2,11 @@
 
 Run: python examples/01_spmm_autotune.py [matrix.mtx] [K]
 """
+import pathlib
+import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
 import sys
 
 import jax

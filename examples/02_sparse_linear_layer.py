@@ -2,6 +2,11 @@
 
 Run: python examples/02_sparse_linear_layer.py
 """
+import pathlib
+import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -4,6 +4,11 @@ Run (virtual 8-device CPU mesh):
   XLA_FLAGS=--xla_force_host_platform_device_count=8 JAX_PLATFORMS=cpu \
       python examples/03_multichip_halo.py
 """
+import pathlib
+import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
 import jax
 
 import numpy as np

@@ -2,6 +2,11 @@
 
 Run: python examples/04_graph_algorithms.py
 """
+import pathlib
+import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
 import numpy as np
 
 from tpusparse import graph

@@ -78,6 +78,53 @@ def test_trainable_values_with_explicit_zero():
     assert nz[1] != 0.0
 
 
+def test_public_sddmm_matches_dense():
+    from tpusparse.kernels.sddmm import sddmm
+
+    mat = builder.power_law_coo(220, 190, avg_nnz_per_row=5.0, seed=7)
+    rng = np.random.default_rng(8)
+    a = rng.standard_normal((220, 16)).astype(np.float32)
+    b = rng.standard_normal((190, 16)).astype(np.float32)
+    got = sddmm(mat, a, b, rb=64, ct=128, g=64)
+    want = (a @ b.T)[mat.rows, mat.cols]
+    assert _rel_err(got, want) < 3e-2
+
+
+def test_trainable_dp_sharded_grads():
+    # data-parallel fine-tuning: the SDDMM/custom-VJP path composes with
+    # shard_map (batch sharded, params replicated, grads psum-reduced)
+    import functools
+
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    from tpusparse.nn import TrainableSparseLinear
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 virtual devices")
+    w = builder.pruned_weight_coo(32, 24, sparsity=0.7, seed=8)
+    layer = TrainableSparseLinear(w, rb=16, ct=32, g=16, bias=False)
+    params = layer.init()
+    rng = np.random.default_rng(9)
+    x = jnp.asarray(rng.standard_normal((8, 24)), jnp.float32)
+    t = jnp.asarray(rng.standard_normal((8, 32)), jnp.float32)
+
+    def loss(p, xs, ts):
+        return jnp.sum((layer.apply(p, xs) - ts) ** 2)
+
+    mesh = Mesh(np.array(jax.devices()[:4]), ("dp",))
+
+    @functools.partial(jax.shard_map, mesh=mesh, check_vma=False,
+                       in_specs=(P(), P("dp"), P("dp")), out_specs=P())
+    def grads_dp(p, xs, ts):
+        g = jax.grad(loss)(p, xs, ts)
+        return jax.tree.map(lambda a: jax.lax.psum(a, "dp"), g)
+
+    gd = grads_dp(params, x, t)
+    gs = jax.grad(loss)(params, x, t)
+    np.testing.assert_allclose(np.asarray(gd["vals"]), np.asarray(gs["vals"]),
+                               rtol=2e-4, atol=1e-4)
+
+
 def test_trainable_layer_trains():
     import optax
 

@@ -61,6 +61,9 @@ def __getattr__(name):
         "spgemm": "tpusparse.spgemm.spgemm",
         "batched_spmm": "tpusparse.batched.batched_spmm",
         "spmm_fn": "tpusparse.autodiff.spmm_fn",
+        "spmm_trainable": "tpusparse.autodiff.spmm_trainable",
+        "sddmm": "tpusparse.kernels.sddmm.sddmm",
+        "TrainableSparseLinear": "tpusparse.nn.TrainableSparseLinear",
         "semiring_spmv": "tpusparse.graph.semiring_spmv",
     }
     if name in lazy_map:

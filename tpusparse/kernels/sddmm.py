@@ -269,6 +269,35 @@ def span_dx(fmt: SpanFormat, vals, dy_slots, *, ktile: int | None = None,
     return dx[: fmt.shape[1], :k]
 
 
+def sddmm(mat, a, b, *, rb: int = 512, ct: int = 512, g: int = 128,
+          precision: str = "fp32x2", interpret: bool | None = None
+          ) -> np.ndarray:
+    """Sampled dense-dense matmul: values of ``(a @ b.T)`` at ``mat``'s
+    nz positions, returned in ``mat``'s nz order (the dgSPARSE/torch-sparse
+    `sddmm` op, e.g. attention-score sampling over a fixed pattern).
+
+    ``a`` [M, K] and ``b`` [N, K] with ``(M, N) == mat.shape``.  One-shot
+    convenience: packs the pattern, runs the span-layout SDDMM kernel
+    (module docstring), exports host-side.  For the iterate-many-times use
+    (training), use ``autodiff.spmm_trainable`` — gradients reuse the same
+    packing across steps.
+    """
+    import jax.numpy as jnp
+
+    from tpusparse.kernels.span_gather import pack_span
+
+    m, n = mat.shape
+    a = jnp.asarray(a, jnp.float32)
+    b = jnp.asarray(b, jnp.float32)
+    assert a.shape[0] == m and b.shape[0] == n and a.shape[1] == b.shape[1], (
+        f"a {a.shape} / b {b.shape} incompatible with pattern {mat.shape}")
+    fmt = pack_span(mat, rb=rb, ct=ct, g=g, keep_perm=True)
+    a_slots = jnp.take(a, jnp.asarray(origrow_of_slot(fmt)), axis=0,
+                       mode="fill", fill_value=0)
+    dv = span_sddmm(fmt, a_slots, b, precision=precision, interpret=interpret)
+    return packed_to_nz(fmt, dv)
+
+
 def occupancy_mask(fmt: SpanFormat) -> np.ndarray:
     """[P, NC, G] float32 1.0 where a real nz lives (0 = padding slot).
     Built from the packing permutation, NOT from vals != 0 — a stored zero
