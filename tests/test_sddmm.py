@@ -78,6 +78,29 @@ def test_trainable_values_with_explicit_zero():
     assert nz[1] != 0.0
 
 
+def test_auto_ktile_reduces_and_grads_match():
+    # a tiny vmem_budget forces the K-tile down; gradients must still match
+    from tpusparse.autodiff import _auto_ktile
+
+    assert _auto_ktile(4096, 128, 4 * 2**20) == 128
+    assert _auto_ktile(64 * 1024, 128, 4 * 2**20) == 16
+    with pytest.raises(ValueError, match="exceeds the VMEM budget"):
+        _auto_ktile(40_000_000, 128, 4 * 2**20)
+
+    mat = builder.power_law_coo(300, 260, avg_nnz_per_row=5.0, seed=0)
+    rng = np.random.default_rng(2)
+    k = 20
+    x = jnp.asarray(rng.standard_normal((260, k)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((300, k)), jnp.float32)
+    budget = 260 * 10 * 4  # kt: 20 -> 10
+    assert _auto_ktile(260, k, budget) == 10
+    fn, v0 = spmm_trainable(mat, rb=64, ct=128, g=64, vmem_budget=budget)
+    dv, dx = jax.grad(lambda v, x: jnp.sum(fn(v, x) * w), argnums=(0, 1))(v0, x)
+    dA = np.asarray(w) @ np.asarray(x).T
+    assert _rel_err(packed_to_nz(fn.fmt, dv), dA[mat.rows, mat.cols]) < 3e-2
+    assert _rel_err(dx, mat.to_dense().T @ np.asarray(w)) < 3e-2
+
+
 def test_public_sddmm_matches_dense():
     from tpusparse.kernels.sddmm import sddmm
 

@@ -53,9 +53,27 @@ def spmm_fn(mat: CooMatrix, schedule=None, t_schedule=None, *, interpret=None,
     return spmm
 
 
+def _auto_ktile(n: int, k: int, vmem_budget: int) -> int:
+    """Largest K-tile whose span-family residency fits ``vmem_budget``:
+    the forward/SDDMM X pack is N*2*kt*2 bytes (bf16 hi+lo) and span_dx
+    keeps an [N_pad, kt] fp32 output block resident (N*kt*4 bytes)."""
+    kt = k if k <= 128 else 128
+    while kt > 8 and n * kt * 4 > vmem_budget:
+        kt = (kt + 1) // 2
+    if n * kt * 4 > vmem_budget:
+        raise ValueError(
+            f"trainable span residency {n * kt * 4 / 2**20:.1f} MB at kt={kt} "
+            f"exceeds the VMEM budget ({vmem_budget / 2**20:.0f} MB); N={n} "
+            "is too wide for the resident trainable path — shard the matrix "
+            "column-wise (dist/overlap halo ring) or raise vmem_budget at "
+            "your own risk")
+    return kt
+
+
 def spmm_trainable(mat: CooMatrix, *, rb: int = 512, ct: int = 512,
                    g: int = 128, precision: str = "fp32x2",
-                   interpret=None, k_hint: int | None = None):
+                   interpret=None, k_hint: int | None = None,
+                   vmem_budget: int = 4 * 2**20):
     """Trainable-values SpMM: ``fn(v, x) -> A(v) @ x`` differentiable in
     BOTH arguments over a fixed sparsity pattern (pruned-LLM fine-tuning).
 
@@ -70,7 +88,9 @@ def spmm_trainable(mat: CooMatrix, *, rb: int = 512, ct: int = 512,
 
     Checkpoint back to COO order with
     ``kernels.sddmm.packed_to_nz(fmt, v)``; the format is returned as
-    ``fn.fmt``.  Span-family VMEM gate applies (X resident, ~6 MB).
+    ``fn.fmt``.  The K-tile auto-shrinks so the resident X pack and the
+    span_dx output block fit ``vmem_budget`` (large N trades K-grid steps
+    for residency; see ``_auto_ktile``).
     """
     import jax.numpy as jnp
     import numpy as np
@@ -83,23 +103,26 @@ def spmm_trainable(mat: CooMatrix, *, rb: int = 512, ct: int = 512,
     mask = jnp.asarray(_sddmm.occupancy_mask(fmt))
     inv_slot = jnp.asarray(_sddmm.origrow_of_slot(fmt))
     v0 = jnp.asarray(fmt.vals, jnp.float32)
+    n = mat.shape[1]
 
     @jax.custom_vjp
     def fn(v, x):
-        return span_spmm(fmt, x, precision=precision, interpret=interpret,
-                         vals=v * mask)
+        kt = _auto_ktile(n, x.shape[1], vmem_budget)
+        return span_spmm(fmt, x, ktile=kt, precision=precision,
+                         interpret=interpret, vals=v * mask)
 
     def fwd(v, x):
         return fn(v, x), (v, x)
 
     def bwd(res, dy):
         v, x = res
+        kt = _auto_ktile(n, x.shape[1], vmem_budget)
         # dY rows into slot order once; both grad kernels consume slots
         dy_slots = jnp.take(dy, inv_slot, axis=0, mode="fill", fill_value=0)
-        dv = _sddmm.span_sddmm(fmt, dy_slots, x, precision=precision,
-                               interpret=interpret) * mask
-        dx = _sddmm.span_dx(fmt, v * mask, dy_slots, precision=precision,
-                            interpret=interpret)
+        dv = _sddmm.span_sddmm(fmt, dy_slots, x, ktile=kt,
+                               precision=precision, interpret=interpret) * mask
+        dx = _sddmm.span_dx(fmt, v * mask, dy_slots, ktile=kt,
+                            precision=precision, interpret=interpret)
         return dv, dx
 
     fn.defvjp(fwd, bwd)
