@@ -140,6 +140,40 @@ def run_suite(quick: bool = False, out_path: str = "BENCH_SUITE.jsonl"):
     except Exception as e:
         emit({"bench": "pruned_llm_90", "k": k, "error": f"{type(e).__name__}: {e}"})
 
+    # ---- trainable sparse training step (fwd + SDDMM dv + transpose dx)
+    import jax
+
+    from tpusparse.nn import TrainableSparseLinear
+
+    try:
+        tm = 2048 if quick else 4096
+        tw = builder.pruned_weight_coo(tm, tm, sparsity=0.9, seed=21)
+        tk = 256
+        layer = TrainableSparseLinear(tw, bias=False)
+        params = layer.init()
+        rngt = np.random.default_rng(22)
+        xb = jnp.asarray(rngt.standard_normal((tk, tm)), jnp.float32)
+        tt = jnp.asarray(rngt.standard_normal((tk, tm)), jnp.float32)
+
+        def grad_step(x):
+            gp, gx = jax.grad(
+                lambda p, x: jnp.mean((layer.apply(p, x) - tt) ** 2),
+                argnums=(0, 1))(params, x)
+            # consume BOTH cotangents so neither grad kernel is dead code
+            return gp["vals"] + jnp.mean(gx)
+
+        np.asarray(grad_step(xb))
+        sec = time_fn(grad_step, xb, iters=3)
+        emit({
+            "bench": "trainable_step_pruned90", "k": tk, "nnz": tw.nnz,
+            "seconds": round(sec, 4),
+            # one step = 3 SpMM-shaped passes (fwd, dv, dx)
+            "gflops": round(3 * gflops(tw.nnz, tk, sec), 3),
+        })
+    except Exception as e:
+        emit({"bench": "trainable_step_pruned90",
+              "error": f"{type(e).__name__}: {e}"})
+
     # ---- config #4: N:M (2:4) structured, batched
     m = 2048 if quick else 4096
     dense = builder.nm_pruned_dense(m, m, n_keep=2, group=4, seed=5)
