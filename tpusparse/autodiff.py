@@ -57,7 +57,7 @@ def _auto_ktile(n: int, k: int, vmem_budget: int) -> int:
     """Largest K-tile whose span-family residency fits ``vmem_budget``:
     the forward/SDDMM X pack is N*2*kt*2 bytes (bf16 hi+lo) and span_dx
     keeps an [N_pad, kt] fp32 output block resident (N*kt*4 bytes)."""
-    kt = k if k <= 128 else 128
+    kt = max(k if k <= 128 else 128, 8)  # sub-8-sublane Mosaic trap floor
     while kt > 8 and n * kt * 4 > vmem_budget:
         kt = (kt + 1) // 2
     if n * kt * 4 > vmem_budget:

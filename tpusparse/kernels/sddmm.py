@@ -147,6 +147,9 @@ def span_sddmm(fmt: SpanFormat, dy_slots, x, *, ktile: int | None = None,
     k = x.shape[1]
     if ktile is None:
         ktile = k if k <= 128 else 128
+    # Mosaic trap: < 8-sublane intermediates explode compile time (CLAUDE.md);
+    # the (kt, G) gathers must keep kt >= 8, padding covers the K tail
+    ktile = max(ktile, 8)
     if k % ktile:
         pad = ktile - k % ktile
         x = jnp.pad(x, ((0, 0), (0, pad)))
@@ -256,6 +259,7 @@ def span_dx(fmt: SpanFormat, vals, dy_slots, *, ktile: int | None = None,
     k = dy_slots.shape[1]
     if ktile is None:
         ktile = k if k <= 128 else 128
+    ktile = max(ktile, 8)  # sub-8-sublane Mosaic compile trap (CLAUDE.md)
     if k % ktile:
         dy_slots = jnp.pad(dy_slots, ((0, 0), (0, ktile - k % ktile)))
     n_pad = round_up(fmt.shape[1], 8) + fmt.ct
