@@ -33,6 +33,9 @@ Kernel modules and their reference reduction-template counterparts:
                   block fill).
   nm_structured   N:M (2:4) structured sparsity on the MXU (capacity play;
                   see PERF.md for the honest throughput analysis).
+  sddmm           no reference counterpart (training story): span-layout
+                  SDDMM value-grad + transpose-free input-grad powering
+                  autodiff.spmm_trainable, plus the public sddmm() op.
 """
 
 from tpusparse.kernels.common import kernel_backend_interpret
