@@ -33,6 +33,22 @@ def test_format_roundtrip(tmp_path):
     check_result(y, spmm_reference(mat, x.astype(np.float64)), rtol=1e-5)
 
 
+def test_trainable_format_roundtrip(tmp_path):
+    # keep_perm extras (perm_of_nz / slot_of_origrow) persist, so a
+    # trainable layer's packing can be checkpointed and restored
+    from tpusparse.kernels.sddmm import occupancy_mask, packed_to_nz
+
+    mat = builder.power_law_coo(100, 120, avg_nnz_per_row=5.0, seed=3)
+    fmt = pack_span(mat, rb=64, ct=128, g=32, keep_perm=True)
+    save_format(fmt, str(tmp_path / "t"))
+    back = load_format(str(tmp_path / "t"))
+    np.testing.assert_array_equal(np.asarray(back.perm_of_nz),
+                                  np.asarray(fmt.perm_of_nz))
+    np.testing.assert_array_equal(occupancy_mask(back), occupancy_mask(fmt))
+    np.testing.assert_allclose(packed_to_nz(back, back.vals),
+                               np.asarray(mat.vals))
+
+
 def test_plan_artifact_roundtrip(tmp_path):
     with config_override(cache_dir=str(tmp_path)):
         mat = builder.uniform_coo(64, 80, nnz_per_row=4, seed=2)
