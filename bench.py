@@ -19,7 +19,31 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def _backend_reachable(timeout: float = 240.0) -> bool:
+    """Probe the device backend in a subprocess: during an axon tunnel
+    outage jax.devices() hangs *forever* (no error), which would hang the
+    whole bench run.  The child is killed on timeout."""
+    import subprocess
+
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices(); print('ok')"],
+            capture_output=True, text=True, timeout=timeout)
+        return r.returncode == 0 and "ok" in r.stdout
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
+    if not _backend_reachable():
+        log("device backend unreachable (tunnel outage?) — emitting error row")
+        print(json.dumps({
+            "metric": "spmm_fp32_powerlaw32k_k8_gflops", "value": 0.0,
+            "unit": "GFLOP/s", "vs_baseline": 0.0,
+            "error": "TPU backend unreachable (jax.devices() probe timed out)",
+        }))
+        return
+
     import jax
     import jax.numpy as jnp
 
