@@ -70,6 +70,38 @@ def _random_schedule(rng, mat):
 
 
 
+@pytest.mark.parametrize("seed", range(8))
+def test_fuzz_trainable_grads(seed):
+    # the SDDMM gradient pair over random patterns (incl. empty rows and
+    # near-empty matrices) vs the dense formulas
+    import jax
+    import jax.numpy as jnp
+
+    from tpusparse.autodiff import spmm_trainable
+    from tpusparse.kernels.sddmm import packed_to_nz
+
+    rng = np.random.default_rng(5000 + seed)
+    mat = _random_matrix(rng)
+    if mat.nnz == 0:
+        pytest.skip("empty pattern")
+    k = int(rng.integers(1, 24))
+    x = jnp.asarray(rng.standard_normal((mat.shape[1], k)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((mat.shape[0], k)), jnp.float32)
+    fn, v0 = spmm_trainable(mat, rb=int(2 ** rng.integers(4, 7)),
+                            ct=int(2 ** rng.integers(5, 8)),
+                            g=int(2 ** rng.integers(4, 7)))
+    dv, dx = jax.grad(lambda v, x: jnp.sum(fn(v, x) * w), argnums=(0, 1))(v0, x)
+    def close(got, want):
+        # condition-aware floor: tiny entries of a large-magnitude tensor
+        # carry the accumulation error of the big ones (fp32x2 rounding)
+        floor = 1e-3 * (1.0 + np.abs(want).max())
+        assert np.max(np.abs(got - want) / (np.abs(want) + floor)) < 3e-2
+
+    dA = np.asarray(w) @ np.asarray(x).T
+    close(packed_to_nz(fn.fmt, dv), dA[mat.rows, mat.cols])
+    close(np.asarray(dx), mat.to_dense().T @ np.asarray(w))
+
+
 @pytest.mark.parametrize("seed", range(24))
 def test_fuzz_schedule_vs_oracle(seed):
     rng = np.random.default_rng(1000 + seed)
