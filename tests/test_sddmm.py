@@ -148,6 +148,37 @@ def test_trainable_dp_sharded_grads():
                                rtol=2e-4, atol=1e-4)
 
 
+def test_flax_module_trains():
+    import optax
+
+    from tpusparse.nn import flax_sparse_linear
+
+    w = builder.pruned_weight_coo(48, 40, sparsity=0.8, seed=5)
+    mod = flax_sparse_linear(w, rb=16, ct=64, g=32)
+    rng = np.random.default_rng(6)
+    x = jnp.asarray(rng.standard_normal((4, 5, 40)), jnp.float32)
+    t = jnp.asarray(rng.standard_normal((4, 5, 48)), jnp.float32)
+    vs = mod.init(jax.random.PRNGKey(0), x)
+    assert mod.apply(vs, x).shape == (4, 5, 48)
+
+    opt = optax.adam(5e-2)
+    st = opt.init(vs)
+
+    @jax.jit
+    def step(vs, st):
+        l, gr = jax.value_and_grad(
+            lambda v: jnp.mean((mod.apply(v, x) - t) ** 2))(vs)
+        u, st = opt.update(gr, st, vs)
+        return optax.apply_updates(vs, u), st, l
+
+    l0 = None
+    for _ in range(30):
+        vs, st, l = step(vs, st)
+        l0 = float(l) if l0 is None else l0
+    assert float(l) < 0.7 * l0
+    assert packed_to_nz(mod.fmt, vs["params"]["vals"]).shape == (w.nnz,)
+
+
 def test_trainable_layer_trains():
     import optax
 

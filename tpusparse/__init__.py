@@ -64,6 +64,7 @@ def __getattr__(name):
         "spmm_trainable": "tpusparse.autodiff.spmm_trainable",
         "sddmm": "tpusparse.kernels.sddmm.sddmm",
         "TrainableSparseLinear": "tpusparse.nn.TrainableSparseLinear",
+        "flax_sparse_linear": "tpusparse.nn.flax_sparse_linear",
         "semiring_spmv": "tpusparse.graph.semiring_spmv",
     }
     if name in lazy_map:

@@ -222,3 +222,45 @@ class TrainableSparseLinear:
         from tpusparse.kernels.sddmm import packed_to_nz
 
         return packed_to_nz(self.fmt, params["vals"])
+
+
+def flax_sparse_linear(mat: CooMatrix, *, bias: bool = True,
+                       rb: int = 512, ct: int = 512, g: int = 128,
+                       precision: str = "fp32x2", interpret=None):
+    """A ``flax.linen`` module over the trainable-values sparse layer.
+
+    Drop-in for ``nn.Dense`` with a frozen sparsity pattern: the packed
+    value plane registers as a flax param ("vals", plus "bias"), so
+    ``model.init`` / ``model.apply`` / optax training loops work unchanged
+    and gradients run the SDDMM kernel pair (kernels/sddmm.py).
+
+        mod = flax_sparse_linear(w_coo)
+        variables = mod.init(rng, x)
+        y = mod.apply(variables, x)
+
+    Export trained values in COO order with
+    ``kernels.sddmm.packed_to_nz(mod.fmt, variables['params']['vals'])``.
+    """
+    import flax.linen as fnn
+
+    from tpusparse.autodiff import spmm_trainable
+
+    fn, v0 = spmm_trainable(mat, rb=rb, ct=ct, g=g, precision=precision,
+                            interpret=interpret)
+    out_f, in_f = mat.shape
+    with_bias = bias
+
+    class SparseDense(fnn.Module):
+        fmt = fn.fmt
+
+        @fnn.compact
+        def __call__(self, x):
+            v = self.param("vals", lambda rng: v0)
+            lead = x.shape[:-1]
+            xk = x.reshape(-1, in_f).T
+            y = fn(v, xk).T.reshape(*lead, out_f)
+            if with_bias:
+                y = y + self.param("bias", fnn.initializers.zeros, (out_f,))
+            return y
+
+    return SparseDense()
