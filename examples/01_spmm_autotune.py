@@ -7,8 +7,6 @@ import sys
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 
-import sys
-
 import jax
 import numpy as np
 

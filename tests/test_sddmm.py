@@ -21,8 +21,8 @@ def _rel_err(got, want, floor=1e-3):
     return float(np.max(np.abs(got - want) / (np.abs(want) + floor)))
 
 
-@pytest.mark.parametrize("k,ktile", [(12, None), (20, 8)])
-def test_trainable_grads_match_dense(k, ktile):
+@pytest.mark.parametrize("k", [12, 20])
+def test_trainable_grads_match_dense(k):
     mat = builder.power_law_coo(300, 260, avg_nnz_per_row=5.0, seed=0)
     rng = np.random.default_rng(1)
     x = jnp.asarray(rng.standard_normal((260, k)), jnp.float32)
@@ -36,7 +36,7 @@ def test_trainable_grads_match_dense(k, ktile):
     dA = np.asarray(w) @ np.asarray(x).T
     assert _rel_err(packed_to_nz(fn.fmt, dv), dA[mat.rows, mat.cols]) < 3e-2
     assert _rel_err(dx, mat.to_dense().T @ np.asarray(w)) < 3e-2
-    del ktile  # ktile is exercised through the layer test below
+    # explicit-ktile grad coverage lives in test_sddmm_ktiled_accumulation
 
 
 def test_sddmm_ktiled_accumulation():
@@ -86,6 +86,11 @@ def test_auto_ktile_reduces_and_grads_match():
     assert _auto_ktile(64 * 1024, 128, 4 * 2**20) == 16
     with pytest.raises(ValueError, match="exceeds the VMEM budget"):
         _auto_ktile(40_000_000, 128, 4 * 2**20)
+    # halving from a non-power-of-two K must stop AT the 8-sublane floor,
+    # never below it (20 -> 10 -> 8, not 5); unsatisfiable budgets raise
+    assert _auto_ktile(120_000, 128, 4 * 2**20) == 8
+    with pytest.raises(ValueError, match="exceeds the VMEM budget"):
+        _auto_ktile(260, 20, 5200)  # kt=5 would "fit" but is illegal
 
     mat = builder.power_law_coo(300, 260, avg_nnz_per_row=5.0, seed=0)
     rng = np.random.default_rng(2)

@@ -59,7 +59,7 @@ def _auto_ktile(n: int, k: int, vmem_budget: int) -> int:
     keeps an [N_pad, kt] fp32 output block resident (N*kt*4 bytes)."""
     kt = max(k if k <= 128 else 128, 8)  # sub-8-sublane Mosaic trap floor
     while kt > 8 and n * kt * 4 > vmem_budget:
-        kt = (kt + 1) // 2
+        kt = max((kt + 1) // 2, 8)  # halving from e.g. 20 must not pass 8
     if n * kt * 4 > vmem_budget:
         raise ValueError(
             f"trainable span residency {n * kt * 4 / 2**20:.1f} MB at kt={kt} "

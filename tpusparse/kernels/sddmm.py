@@ -286,8 +286,6 @@ def sddmm(mat, a, b, *, rb: int = 512, ct: int = 512, g: int = 128,
     (training), use ``autodiff.spmm_trainable`` — gradients reuse the same
     packing across steps.
     """
-    import jax.numpy as jnp
-
     from tpusparse.kernels.span_gather import pack_span
 
     m, n = mat.shape
@@ -306,11 +304,11 @@ def occupancy_mask(fmt: SpanFormat) -> np.ndarray:
     """[P, NC, G] float32 1.0 where a real nz lives (0 = padding slot).
     Built from the packing permutation, NOT from vals != 0 — a stored zero
     value is still a real (trainable) position."""
+    from tpusparse.kernels.span_gather import with_values
+
     assert fmt.perm_of_nz is not None, "pack_span(..., keep_perm=True) required"
-    flat = np.zeros(fmt.n_programs * fmt.n_chunks * fmt.chunk_g,
-                    dtype=np.float32)
-    flat[np.asarray(fmt.perm_of_nz)] = 1.0
-    return flat.reshape(fmt.n_programs, fmt.n_chunks, fmt.chunk_g)
+    ones = np.ones(len(np.asarray(fmt.perm_of_nz)), dtype=np.float32)
+    return np.asarray(with_values(fmt, ones).vals, dtype=np.float32)
 
 
 def origrow_of_slot(fmt: SpanFormat) -> np.ndarray:
