@@ -130,6 +130,23 @@ def test_scipy_interop():
     np.testing.assert_allclose(back.toarray(), s.toarray())
 
 
+def test_torch_interop():
+    import numpy as np
+    import torch
+    from tpusparse.io import builder
+    from tpusparse.io.mtx import CooMatrix
+
+    m = builder.pruned_weight_coo(60, 50, sparsity=0.8, seed=1)
+    back = CooMatrix.from_torch(m.to_torch())              # sparse COO
+    np.testing.assert_allclose(back.to_dense(), m.to_dense())
+    dense = torch.from_numpy(m.to_dense()).requires_grad_(True)
+    np.testing.assert_allclose(CooMatrix.from_torch(dense).to_dense(),
+                               m.to_dense())               # dense w/ grad
+    np.testing.assert_allclose(
+        CooMatrix.from_torch(m.to_torch().to_sparse_csr()).to_dense(),
+        m.to_dense())                                      # CSR
+
+
 def test_bcoo_interop():
     import numpy as np
     from tpusparse.io import builder

@@ -126,6 +126,29 @@ class CooMatrix:
             np.asarray(bcoo.data), tuple(bcoo.shape),
         ).sum_duplicates()
 
+    @classmethod
+    def from_torch(cls, t) -> "CooMatrix":
+        """From a torch tensor: sparse COO/CSR/CSC or dense (the pruned-LLM
+        checkpoint path — FlashLLM-style weights arrive as torch tensors)."""
+        layout = getattr(t, "layout", None)
+        if layout is not None and "sparse" in str(layout):
+            t = t.coalesce() if str(layout) == "torch.sparse_coo" else t.to_sparse_coo().coalesce()
+            idx = t.indices().cpu().numpy()
+            return cls(
+                idx[0].astype(np.int64), idx[1].astype(np.int64),
+                t.values().cpu().float().numpy(), tuple(t.shape),
+            ).sort_row_major()
+        return cls.from_dense(t.detach().cpu().float().numpy())
+
+    def to_torch(self):
+        """To a coalesced torch.sparse_coo_tensor (CPU)."""
+        import torch
+
+        idx = torch.from_numpy(np.stack([self.rows, self.cols]))
+        return torch.sparse_coo_tensor(
+            idx, torch.from_numpy(np.asarray(self.vals, np.float32)),
+            size=tuple(self.shape)).coalesce()
+
     def to_bcoo(self, dtype=np.float32):
         import jax.numpy as jnp
         from jax.experimental import sparse as jsparse
