@@ -44,6 +44,28 @@ def test_spgemm_tiled():
     )
 
 
+def test_spgemm_runner_reuse():
+    # spgemm_fn builds once; the runner handles B's of different widths and
+    # patterns, and the spgemm() wrapper hits the signature-keyed cache
+    from tpusparse.spgemm import _RUNNER_CACHE, spgemm_fn
+
+    a = builder.power_law_coo(100, 96, avg_nnz_per_row=5.0, seed=11)
+    run = spgemm_fn(a, tile_cols=64)
+    for seed, p in ((12, 130), (13, 70)):
+        b = builder.power_law_coo(96, p, avg_nnz_per_row=4.0, seed=seed)
+        c = run(b)
+        want = spgemm_reference(a, b)
+        np.testing.assert_allclose(
+            c.to_dense(np.float64), want.to_dense(np.float64),
+            rtol=1e-4, atol=1e-4)
+    _RUNNER_CACHE.clear()
+    b = builder.power_law_coo(96, 130, avg_nnz_per_row=4.0, seed=12)
+    spgemm(a, b, tile_cols=64)
+    n_runners = len(_RUNNER_CACHE)
+    spgemm(a, b, tile_cols=64)  # same A: reuses the cached runner
+    assert n_runners == 1 and len(_RUNNER_CACHE) == 1
+
+
 def test_spgemm_tuned_a_plan():
     # tune_a=True routes A through the min-time tuner (budget-capped)
     a = builder.power_law_coo(120, 90, avg_nnz_per_row=5.0, seed=5)

@@ -275,17 +275,20 @@ def run_suite(quick: bool = False, out_path: str = "BENCH_SUITE.jsonl"):
     except Exception as e:
         emit({"bench": "graph", "error": f"{type(e).__name__}: {e}"})
 
-    # ---- SpGEMM through the tuned A-plan, device-side re-sparsify
-    from tpusparse.spgemm import spgemm
+    # ---- SpGEMM through the reusable runner, device-side re-sparsify
+    from tpusparse.spgemm import spgemm_fn
 
     try:
         sa = builder.power_law_coo(4096, 4096, avg_nnz_per_row=8.0, seed=12)
         sb = builder.power_law_coo(4096, 4096, avg_nnz_per_row=8.0, seed=13)
         import time as _t
 
-        spgemm(sa, sb)  # warm (per-size sparsify compiles)
         t0 = _t.time()
-        c1 = spgemm(sa, sb)
+        run = spgemm_fn(sa)  # pack + trace once
+        run(sb)              # compiles (per-size sparsify variants)
+        sg_cold = _t.time() - t0
+        t0 = _t.time()
+        c1 = run(sb)
         sg_sec = _t.time() - t0
         # FLOP count for SpGEMM = 2 * sum over A nz of nnz(B row)
         brow = np.bincount(sb.rows, minlength=4096)
@@ -293,6 +296,7 @@ def run_suite(quick: bool = False, out_path: str = "BENCH_SUITE.jsonl"):
         emit({
             "bench": "spgemm_powerlaw_4k", "nnz_a": sa.nnz, "nnz_b": sb.nnz,
             "nnz_c": c1.nnz, "seconds": round(sg_sec, 3),
+            "seconds_cold": round(sg_cold, 3),
             "gflops": round(flops / sg_sec / 1e9, 3),
         })
     except Exception as e:

@@ -3,10 +3,16 @@ reference is SpMM-only).
 
 TPU-native formulation: there is no efficient dynamic-output scatter on TPU,
 so SpGEMM runs as *tiled dense-intermediate* SpMM — stream column tiles of B,
-densify each tile (cheap: one host scatter per tile), multiply through a
-packed SpMM plan for A (MXU path), and re-sparsify the dense result tile.
-This keeps every device op static-shaped and MXU-friendly; the sparse-sparse
-"merge" the GPU literature hand-codes becomes format preparation.
+densify each tile on device, multiply through a packed SpMM plan for A (MXU
+path), and re-sparsify the dense result tile.  This keeps every device op
+static-shaped and MXU-friendly; the sparse-sparse "merge" the GPU literature
+hand-codes becomes format preparation.
+
+The expensive work — packing A's format and tracing the device programs —
+happens ONCE per (A, tile_cols) in :class:`SpgemmRunner`; ``spgemm(a, b)``
+routes through a signature-keyed runner cache, so repeated products with the
+same A (the common case: a fixed operator applied to many B's) pay only the
+device time.
 
 Entries that are structurally zero stay exactly 0.0 through every kernel
 family (0-valued padding contributes 0·x), so re-sparsification by
@@ -24,6 +30,165 @@ import numpy as np
 from tpusparse.io.mtx import CooMatrix
 
 
+class SpgemmRunner:
+    """Reusable C = A . B executor with A's format packed once.
+
+    Build with :func:`spgemm_fn`; call with any ``CooMatrix`` B whose row
+    count equals A's column count.  The A-side plan, the densify/product/
+    sparsify jits, and their compiled executables persist across calls —
+    only B staging and the per-group host syncs are paid per call.
+    """
+
+    def __init__(self, a: CooMatrix, *, tile_cols: int = 128, plan=None,
+                 threshold: float = 0.0):
+        import jax
+        import jax.numpy as jnp
+
+        self.a_shape = a.shape
+        self.tile_cols = int(tile_cols)
+        self.threshold = float(threshold)
+        if plan is None:
+            from tpusparse.schedule import build_plan, default_schedule
+
+            plan = build_plan(a, default_schedule(a, tile_cols))
+        self.plan = plan
+
+        m, n = a.shape
+        tc = self.tile_cols
+        thr = self.threshold
+
+        @jax.jit
+        def densify_tile(rows, cols, vals):
+            z = jnp.zeros((n, tc), jnp.float32)
+            return z.at[rows, cols].add(vals, mode="drop")
+
+        @functools.partial(jax.jit, static_argnames=("t",))
+        def group_products(rows_g, cols_g, vals_g, *, t):
+            yts = jnp.stack([plan(densify_tile(rows_g[i], cols_g[i], vals_g[i]))
+                             for i in range(t)])
+            keeps = jnp.abs(yts) > thr if thr > 0 else yts != 0
+            return yts, keeps, keeps.sum(axis=(1, 2))
+
+        @functools.partial(jax.jit, static_argnames=("size",))
+        def group_sparsify(yts, keeps, *, size):
+            def one(yt, keep):
+                r, c = jnp.nonzero(keep, size=size, fill_value=-1)
+                return r, c, yt[jnp.maximum(r, 0), jnp.maximum(c, 0)]
+
+            return jax.vmap(one)(yts, keeps)
+
+        self._densify = densify_tile
+        self._group_products = group_products
+        self._group_sparsify = group_sparsify
+
+    def __call__(self, b: CooMatrix) -> CooMatrix:
+        import jax.numpy as jnp
+
+        m, n = self.a_shape
+        nb, p = b.shape
+        assert n == nb, f"inner dims mismatch: A cols {n} != B rows {nb}"
+        tc = self.tile_cols
+
+        # column-sliceable view of B, staged on device once: shipping a
+        # dense (N, tile) operand per tile would dominate, the COO goes once
+        order = np.argsort(b.cols, kind="stable")
+        b_rows = b.rows[order].astype(np.int32)
+        b_cols = b.cols[order].astype(np.int32)
+        b_vals = b.vals[order].astype(np.float32)
+        tile_starts = np.searchsorted(b_cols, np.arange(0, p + tc, tc))
+
+        n_tiles = -(-p // tc)
+        # power-of-two staging width: B's with different nnz distributions
+        # land on the same traced shapes, so the product jit cache hits
+        # across calls with varied B (only log-many variants ever compile)
+        max_tile = max(int(np.diff(tile_starts).max(initial=1)), 1)
+        max_tile = 1 << (max_tile - 1).bit_length()
+        t_rows = np.zeros((n_tiles, max_tile), dtype=np.int32)
+        t_cols = np.full((n_tiles, max_tile), tc, dtype=np.int32)  # OOB pad
+        t_vals = np.zeros((n_tiles, max_tile), dtype=np.float32)
+        for ti in range(n_tiles):
+            lo, hi = tile_starts[ti], tile_starts[ti + 1]
+            t_rows[ti, : hi - lo] = b_rows[lo:hi]
+            t_cols[ti, : hi - lo] = b_cols[lo:hi] - ti * tc
+            t_vals[ti, : hi - lo] = b_vals[lo:hi]
+        t_rows_d = jnp.asarray(t_rows)
+        t_cols_d = jnp.asarray(t_cols)
+        t_vals_d = jnp.asarray(t_vals)
+
+        # tiles are processed in GROUPS of T so each group costs two host
+        # round-trips total (counts fetch + packed-triplet fetch) instead of
+        # two per tile — on a remote TPU the per-sync latency dominates
+        # everything else in this algorithm.  T is sized so the group's
+        # dense result stack stays under ~256 MB of HBM: small problems run
+        # in ONE group (two syncs total), big ones split.
+        group_budget = 256 * 1024 * 1024
+        T = max(1, min(n_tiles, group_budget // (m * tc * 4)))
+
+        out_rows, out_cols, out_vals = [], [], []
+        for g0 in range(0, n_tiles, T):
+            t = min(T, n_tiles - g0)
+            yts, keeps, cnts = self._group_products(
+                t_rows_d[g0:g0 + t], t_cols_d[g0:g0 + t],
+                t_vals_d[g0:g0 + t], t=t)
+            cnts = np.asarray(cnts)  # ONE sync per group
+            cmax = int(cnts.max(initial=0))
+            if cmax == 0:
+                continue
+            # power-of-two size bounds recompiles to O(log nnz) variants
+            size = 1 << (cmax - 1).bit_length()
+            rg, cg, vg = (np.asarray(z)
+                          for z in self._group_sparsify(yts, keeps, size=size))
+            for i in range(t):
+                t0 = (g0 + i) * tc
+                width = min(tc, p - t0)
+                r, c, v = rg[i], cg[i], vg[i]
+                live = (r >= 0) & (c < width)
+                out_rows.append(r[live].astype(np.int64))
+                out_cols.append((c[live] + t0).astype(np.int64))
+                out_vals.append(v[live].astype(np.float64))
+
+        if not out_rows:
+            return CooMatrix(
+                np.empty(0, np.int64), np.empty(0, np.int64),
+                np.empty(0, np.float64), (m, p))
+        return CooMatrix(
+            np.concatenate(out_rows),
+            np.concatenate(out_cols),
+            np.concatenate(out_vals),
+            (m, p),
+        ).sort_row_major()
+
+
+def spgemm_fn(
+    a: CooMatrix,
+    *,
+    tile_cols: int = 128,
+    plan=None,
+    tune_a: bool = False,
+    tune_budget: int = 6,
+    threshold: float = 0.0,
+) -> SpgemmRunner:
+    """Build a reusable ``C = A . B`` executor (pack + trace once).
+
+    A's plan defaults to the benched champion for K=tile_cols
+    (default_schedule); ``tune_a=True`` min-times ``tune_budget``
+    candidates at K=tile_cols first (the tune winner is persisted per
+    matrix signature by ``tune`` itself), or pass ``plan=tune(a, ...).best``
+    explicitly.
+    """
+    if plan is None and tune_a:
+        from tpusparse.tune import tune
+
+        x0 = np.random.default_rng(0).standard_normal(
+            (a.shape[1], tile_cols)).astype(np.float32)
+        plan = tune(a, x0, budget=tune_budget, iters=5).best
+    return SpgemmRunner(a, tile_cols=tile_cols, plan=plan, threshold=threshold)
+
+
+_RUNNER_CACHE: dict = {}
+_RUNNER_CACHE_MAX = 8
+
+
 def spgemm(
     a: CooMatrix,
     b: CooMatrix,
@@ -36,110 +201,23 @@ def spgemm(
 ) -> CooMatrix:
     """C[M, P] = A[M, N] . B[N, P]; returns COO, row-major sorted.
 
-    A's plan defaults to the benched champion for K=tile_cols
-    (default_schedule); ``tune_a=True`` min-times ``tune_budget``
-    candidates at K=tile_cols first (the winner is cached per matrix
-    signature, so repeated spgemm calls with the same A pay once), or
-    pass ``plan=tune(a, ...).best`` explicitly.  Result tiles are
-    re-sparsified ON DEVICE: only a scalar count plus the packed
-    (row, col, val) triplets travel to the host, not the dense tile
+    Convenience wrapper over :func:`spgemm_fn`: runners are cached per
+    (A signature, tile_cols, threshold, tune_a), so calling ``spgemm`` in a
+    loop with the same A reuses the packed format and compiled programs.
+    Result tiles are re-sparsified ON DEVICE: only a scalar count plus the
+    packed (row, col, val) triplets travel to the host, not the dense tile
     (VERDICT r1 weak #7)."""
-    m, n = a.shape
-    nb, p = b.shape
-    assert n == nb, f"inner dims mismatch: A cols {n} != B rows {nb}"
-    if plan is None:
-        if tune_a:
-            from tpusparse.tune import tune
+    if plan is not None:
+        return SpgemmRunner(a, tile_cols=tile_cols, plan=plan,
+                            threshold=threshold)(b)
+    from tpusparse.tune import matrix_signature
 
-            x0 = np.random.default_rng(0).standard_normal(
-                (n, tile_cols)).astype(np.float32)
-            plan = tune(a, x0, budget=tune_budget, iters=5).best
-        else:
-            from tpusparse.schedule import build_plan, default_schedule
-
-            plan = build_plan(a, default_schedule(a, tile_cols))
-
-    import jax
-    import jax.numpy as jnp
-
-    # column-sliceable view of B
-    order = np.argsort(b.cols, kind="stable")
-    b_rows = b.rows[order]
-    b_cols = b.cols[order]
-    b_vals = b.vals[order].astype(np.float32)
-    tile_starts = np.searchsorted(b_cols, np.arange(0, p + tile_cols, tile_cols))
-
-    # stage B's COO on device once and densify each tile there: shipping a
-    # dense (N, tile) operand per tile would dominate, the COO goes once
-    n_tiles = -(-p // tile_cols)
-    max_tile = max(int(np.diff(tile_starts).max(initial=1)), 1)
-    t_rows = np.zeros((n_tiles, max_tile), dtype=np.int32)
-    t_cols = np.full((n_tiles, max_tile), tile_cols, dtype=np.int32)  # OOB pad
-    t_vals = np.zeros((n_tiles, max_tile), dtype=np.float32)
-    for ti in range(n_tiles):
-        lo, hi = tile_starts[ti], tile_starts[ti + 1]
-        t_rows[ti, : hi - lo] = b_rows[lo:hi]
-        t_cols[ti, : hi - lo] = b_cols[lo:hi] - ti * tile_cols
-        t_vals[ti, : hi - lo] = b_vals[lo:hi]
-    t_rows_d = jnp.asarray(t_rows)
-    t_cols_d = jnp.asarray(t_cols)
-    t_vals_d = jnp.asarray(t_vals)
-
-    @jax.jit
-    def densify_tile(rows, cols, vals):
-        z = jnp.zeros((n, tile_cols), jnp.float32)
-        return z.at[rows, cols].add(vals, mode="drop")
-
-    # tiles are processed in GROUPS of T so each group costs two host
-    # round-trips total (counts fetch + packed-triplet fetch) instead of
-    # two per tile — on a remote TPU the per-sync latency dominates
-    # everything else in this algorithm
-    T = min(8, n_tiles)
-
-    @functools.partial(jax.jit, static_argnames=("t",))
-    def group_products(rows_g, cols_g, vals_g, *, t):
-        yts = jnp.stack([plan(densify_tile(rows_g[i], cols_g[i], vals_g[i]))
-                         for i in range(t)])
-        keeps = jnp.abs(yts) > threshold if threshold > 0 else yts != 0
-        return yts, keeps, keeps.sum(axis=(1, 2))
-
-    @functools.partial(jax.jit, static_argnames=("size",))
-    def group_sparsify(yts, keeps, *, size):
-        def one(yt, keep):
-            r, c = jnp.nonzero(keep, size=size, fill_value=-1)
-            return r, c, yt[jnp.maximum(r, 0), jnp.maximum(c, 0)]
-
-        return jax.vmap(one)(yts, keeps)
-
-    out_rows, out_cols, out_vals = [], [], []
-    for g0 in range(0, n_tiles, T):
-        t = min(T, n_tiles - g0)
-        yts, keeps, cnts = group_products(
-            t_rows_d[g0:g0 + t], t_cols_d[g0:g0 + t], t_vals_d[g0:g0 + t], t=t)
-        cnts = np.asarray(cnts)  # ONE sync per group
-        cmax = int(cnts.max(initial=0))
-        if cmax == 0:
-            continue
-        # power-of-two size bounds recompiles to O(log nnz) variants
-        size = 1 << (cmax - 1).bit_length()
-        rg, cg, vg = (np.asarray(z)
-                      for z in group_sparsify(yts, keeps, size=size))
-        for i in range(t):
-            t0 = (g0 + i) * tile_cols
-            width = min(tile_cols, p - t0)
-            r, c, v = rg[i], cg[i], vg[i]
-            live = (r >= 0) & (c < width)
-            out_rows.append(r[live].astype(np.int64))
-            out_cols.append((c[live] + t0).astype(np.int64))
-            out_vals.append(v[live].astype(np.float64))
-
-    if not out_rows:
-        return CooMatrix(
-            np.empty(0, np.int64), np.empty(0, np.int64), np.empty(0, np.float64), (m, p)
-        )
-    return CooMatrix(
-        np.concatenate(out_rows),
-        np.concatenate(out_cols),
-        np.concatenate(out_vals),
-        (m, p),
-    ).sort_row_major()
+    key = (matrix_signature(a), tile_cols, threshold, tune_a, tune_budget)
+    runner = _RUNNER_CACHE.get(key)
+    if runner is None:
+        runner = spgemm_fn(a, tile_cols=tile_cols, tune_a=tune_a,
+                           tune_budget=tune_budget, threshold=threshold)
+        if len(_RUNNER_CACHE) >= _RUNNER_CACHE_MAX:
+            _RUNNER_CACHE.pop(next(iter(_RUNNER_CACHE)))
+        _RUNNER_CACHE[key] = runner
+    return runner(b)
