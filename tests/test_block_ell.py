@@ -71,3 +71,70 @@ def test_block_ell_methods_agree(method):
     y = np.asarray(block_ell_spmm(fmt, x, precision="fp32", method=method))
     want = mat.to_dense(np.float64) @ x.astype(np.float64)
     np.testing.assert_allclose(y, want, rtol=1e-4, atol=1e-3)
+
+
+def test_block_ell_int8_arithmetic_exact():
+    # the int8 . int8 -> int32 einsum itself is exact: the kernel result
+    # must equal a float64 recomputation from the DEQUANTIZED planes
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(3)
+    mat, _ = _case(seed=3)
+    x = rng.standard_normal((mat.shape[1], 16)).astype(np.float32)
+    fmt = pack_block_ell(mat, bs=128, dtype=jnp.int8)
+    assert np.asarray(fmt.blkvals).dtype == np.int8
+    y = np.asarray(block_ell_spmm(fmt, x))
+
+    # dequantized A (float64, no further rounding)
+    q = np.asarray(fmt.blkvals, np.float64)
+    rs = np.asarray(fmt.row_scale, np.float64)
+    blkcol = np.asarray(fmt.blkcol)
+    nbc = (mat.shape[1] + fmt.bs - 1) // fmt.bs
+    a_deq = np.zeros((fmt.mb * fmt.bs, nbc * fmt.bs))
+    for i in range(fmt.mb):
+        for j in range(fmt.bmax):
+            a_deq[i * fmt.bs:(i + 1) * fmt.bs,
+                  blkcol[i, j] * fmt.bs:(blkcol[i, j] + 1) * fmt.bs] += (
+                q[i, j] * rs[i][:, None])
+    # dequantized X with the kernel's per-column scale
+    xa = np.abs(x).max(axis=0)
+    xs = np.where(xa > 0, xa / 127.0, 1.0).astype(np.float64)
+    xq = np.clip(np.rint(x / xs), -127, 127)
+    want = a_deq[:mat.shape[0]] @ (xq * xs)
+    np.testing.assert_allclose(y, want, rtol=1e-6, atol=1e-5)
+
+
+def test_block_ell_int8_accuracy_real_values():
+    import jax.numpy as jnp
+
+    mat, x = _case(k=64, seed=4)
+    fmt = pack_block_ell(mat, bs=128, dtype=jnp.int8)
+    y = np.asarray(block_ell_spmm(fmt, x, precision="int8"))
+    want = mat.to_dense(np.float64) @ x.astype(np.float64)
+    # two int8 quantizations: ~2/127 relative error class per term; compare
+    # against the row-sum-of-|terms| scale like the bf16 condition bound
+    scale = np.abs(mat.to_dense(np.float64)) @ np.abs(x.astype(np.float64))
+    err = (np.abs(y - want) / np.maximum(scale, 1e-30)).max()
+    assert err < 4e-2, f"int8 rel-to-condition err {err}"
+    # memory: int8 plane is 1/4 the fp32 plane
+    f32 = pack_block_ell(mat, bs=128)
+    assert np.asarray(fmt.blkvals).nbytes * 4 == np.asarray(f32.blkvals).nbytes
+
+
+def test_block_ell_int8_layer():
+    from tpusparse.nn import SparseLinear
+
+    mat, x = _case(k=8, seed=5)
+    layer = SparseLinear.from_block(mat, bs=128, precision="int8")
+    y = np.asarray(layer(x.T))
+    want = (mat.to_dense(np.float64) @ x.astype(np.float64)).T
+    scale = (np.abs(mat.to_dense(np.float64)) @ np.abs(x.astype(np.float64))).T
+    err = (np.abs(y - want) / np.maximum(scale, 1e-30)).max()
+    assert err < 4e-2, f"int8 layer err {err}"
+
+
+def test_block_ell_int8_precision_guard():
+    mat, x = _case(k=8, seed=6)
+    fmt = pack_block_ell(mat, bs=128)  # float format
+    with pytest.raises(AssertionError, match="int8-packed"):
+        block_ell_spmm(fmt, x, precision="int8")

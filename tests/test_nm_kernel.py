@@ -81,3 +81,45 @@ def test_batched_spmm_nm():
     yb = np.asarray(batched_spmm(lambda x: nm_spmm(fmt, x, precision="fp32"), xb))
     want = np.einsum("nk,bkj->bnj", dense, xb)
     np.testing.assert_allclose(yb, want, rtol=1e-5, atol=1e-5)
+
+
+def test_nm_int8_w8a16_accuracy():
+    import jax.numpy as jnp
+
+    dense, x = _dense_and_x(k=40, seed=7)
+    fmt = pack_nm(dense, dtype=jnp.int8)
+    assert np.asarray(fmt.vals).dtype == np.int8
+    assert fmt.row_scale is not None
+    y = np.asarray(nm_spmm(fmt, x, precision="int8"))
+    want = dense.astype(np.float64) @ x.astype(np.float64)
+    # single (weight-only) int8 quantization + bf16 activation rounding:
+    # compare against the row condition scale like the bf16 bound
+    scale = np.abs(dense.astype(np.float64)) @ np.abs(x.astype(np.float64))
+    err = (np.abs(y - want) / np.maximum(scale, 1e-30)).max()
+    assert err < 2e-2, f"W8A16 rel-to-condition err {err}"
+    # capacity: 2x1B vals + 1B packed offs per 4 cols = 0.375x dense bf16
+    # (compare at the PADDED size; this tiny case pads rows 96->256)
+    padded_dense_bf16 = fmt.m_pad * fmt.g_pad * fmt.group * 2
+    assert fmt.memory_bytes == 0.375 * padded_dense_bf16
+
+
+def test_nm_int8_layer_and_guards():
+    import jax.numpy as jnp
+
+    from tpusparse.nn import SparseLinear
+
+    dense, x = _dense_and_x(k=8, seed=8)
+    layer = SparseLinear.from_nm(dense, precision="int8")
+    y = np.asarray(layer(x.T))
+    want = (dense.astype(np.float64) @ x.astype(np.float64)).T
+    scale = (np.abs(dense.astype(np.float64)) @ np.abs(x.astype(np.float64))).T
+    err = (np.abs(y - want) / np.maximum(scale, 1e-30)).max()
+    assert err < 2e-2, f"int8 layer err {err}"
+    # float-packed format rejects precision='int8'
+    fmt = pack_nm(dense)
+    with pytest.raises(AssertionError, match="int8-packed"):
+        nm_spmm(fmt, x, precision="int8")
+    # int8-packed format rejects fp32 activations
+    fmt8 = pack_nm(dense, dtype=jnp.int8)
+    with pytest.raises(AssertionError, match="W8A16"):
+        nm_spmm(fmt8, x, precision="fp32")

@@ -215,3 +215,62 @@ def test_trainable_layer_trains():
     out = layer.export_vals(params)
     assert out.shape == (w.nnz,)
     assert np.abs(out - np.asarray(w.vals)).max() > 1e-4
+
+
+def test_trainable_checkpoint_resume_orbax(tmp_path):
+    """Checkpoint/resume (SURVEY §5 analogue for the training story): save
+    params + opt state with orbax mid-training, restore into a FRESH layer
+    built from the same COO, and verify training continues bit-exactly."""
+    import optax
+    import orbax.checkpoint as ocp
+
+    from tpusparse.nn import TrainableSparseLinear
+
+    w = builder.pruned_weight_coo(48, 40, sparsity=0.8, seed=9)
+    rng = np.random.default_rng(10)
+    x = jnp.asarray(rng.standard_normal((8, 40)), jnp.float32)
+    t = jnp.asarray(rng.standard_normal((8, 48)), jnp.float32)
+    opt = optax.adam(5e-2)
+
+    def make_step(layer):
+        @jax.jit
+        def step(params, opt_state):
+            loss, grads = jax.value_and_grad(
+                lambda p: jnp.mean((layer.apply(p, x) - t) ** 2))(params)
+            updates, opt_state = opt.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), opt_state, loss
+        return step
+
+    layer = TrainableSparseLinear(w, rb=16, ct=64, g=32)
+    params = layer.init()
+    opt_state = opt.init(params)
+    step = make_step(layer)
+    for _ in range(2):
+        params, opt_state, _ = step(params, opt_state)
+
+    ckptr = ocp.PyTreeCheckpointer()
+    ckptr.save(tmp_path / "ckpt", {"params": params, "opt_state": opt_state})
+
+    # uninterrupted run: 2 more steps
+    p_ref, s_ref = params, opt_state
+    for _ in range(2):
+        p_ref, s_ref, _ = step(p_ref, s_ref)
+
+    # resumed run: fresh process state — new layer from the same matrix,
+    # params/opt_state restored from disk (values land in the packed plane)
+    layer2 = TrainableSparseLinear(w, rb=16, ct=64, g=32)
+    restored = ckptr.restore(tmp_path / "ckpt")
+    p2 = jax.tree.map(jnp.asarray, restored["params"])
+    s2 = jax.tree.map(jnp.asarray, restored["opt_state"])
+    # optax states are structured pytrees; rebuild the named structure by
+    # grafting restored leaves onto a template init
+    s2 = jax.tree.unflatten(jax.tree.structure(opt.init(layer2.init())),
+                            jax.tree.leaves(s2))
+    step2 = make_step(layer2)
+    for _ in range(2):
+        p2, s2, _ = step2(p2, s2)
+
+    np.testing.assert_array_equal(np.asarray(p_ref["vals"]),
+                                  np.asarray(p2["vals"]))
+    np.testing.assert_array_equal(np.asarray(p_ref["bias"]),
+                                  np.asarray(p2["bias"]))

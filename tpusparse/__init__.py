@@ -59,6 +59,7 @@ def __getattr__(name):
         "SparseLinear": "tpusparse.nn.SparseLinear",
         "spmv": "tpusparse.spmv.spmv",
         "spgemm": "tpusparse.spgemm.spgemm",
+        "spgemm_fn": "tpusparse.spgemm.spgemm_fn",
         "batched_spmm": "tpusparse.batched.batched_spmm",
         "spmm_fn": "tpusparse.autodiff.spmm_fn",
         "spmm_trainable": "tpusparse.autodiff.spmm_trainable",

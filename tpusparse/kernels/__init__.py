@@ -30,9 +30,14 @@ Kernel modules and their reference reduction-template counterparts:
                   nnz_segment and segment_span.
   block_ell       dense-block MXU path (BASELINE.json block sparsity;
                   XLA batched-einsum formulation — beats dense at >=15%
-                  block fill).
+                  block fill).  W8A8 int8 serving mode: per-row weight +
+                  per-column activation scales, int8·int8→int32 einsum
+                  (pack_block_ell(dtype=int8)).
   nm_structured   N:M (2:4) structured sparsity on the MXU (capacity play;
-                  see PERF.md for the honest throughput analysis).
+                  see PERF.md for the honest throughput analysis).  W8A16
+                  int8 serving mode: weight-only quantization, integer
+                  values dot exactly in bf16, 0.375x dense-bf16 capacity
+                  (pack_nm(dtype=int8)).
   sddmm           no reference counterpart (training story): span-layout
                   SDDMM value-grad + transpose-free input-grad powering
                   autodiff.spmm_trainable, plus the public sddmm() op.

@@ -54,12 +54,18 @@ PRECISIONS = ("bf16", "fp32")
 class NmFormat:
     """Packed N:M structured weight (see module docstring for layout)."""
 
-    vals: Any  # [S, M_pad, G_pad] bf16/f32
+    vals: Any  # [S, M_pad, G_pad] bf16/f32 (int8 when row_scale is set)
     offs: Any  # [1, M_pad, G_pad] int8 bit-packed, or [S, ...] unpacked
     shape: tuple[int, int]  # original (M, n_cols)
     n_keep: int
     group: int
     packed_bits: int = 0  # bits per slot offset when bit-packed, else 0
+    # weight-only int8 (W8A16): per-output-row symmetric scale; the kernel
+    # dots the quantized integers (exact in bf16: |q| <= 127 < 2^8) against
+    # UNquantized bf16 activations and the rescale happens once per row
+    # after the kernel.  2:4 storage: 2x1B vals + 1B offs per 4 cols =
+    # 0.375x dense-bf16 HBM bytes (bf16 vals: 0.625x).
+    row_scale: Any = None  # [M_pad] f32
 
     @property
     def m_pad(self) -> int:
@@ -116,6 +122,15 @@ def pack_nm(
     out_o = np.zeros((n_keep, m_pad, g_pad), dtype=np.int8)
     out_v[:, :m, :g] = np.moveaxis(svals, 2, 0)
     out_o[:, :m, :g] = np.moveaxis(soffs, 2, 0)
+    row_scale = None
+    if dtype == jnp.int8:
+        # weight-only quantization, symmetric per output row
+        row_amax = np.abs(out_v).max(axis=(0, 2))            # [M_pad]
+        rs = np.where(row_amax > 0, row_amax / 127.0, 1.0)
+        out_v = np.clip(np.rint(out_v / rs[None, :, None]),
+                        -127, 127).astype(np.int8)
+        row_scale = jnp.asarray(rs, dtype=jnp.float32)
+        dtype = jnp.int8
     # bit-pack all slots' offsets into one int8 plane when they fit (2:4
     # needs 2 slots x 2 bits) — halves the index bytes with no relayout
     bits = max(int(np.ceil(np.log2(max(group, 2)))), 1)
@@ -130,6 +145,7 @@ def pack_nm(
             n_keep=n_keep,
             group=group,
             packed_bits=bits,
+            row_scale=row_scale,
         )
     return NmFormat(
         vals=jnp.asarray(out_v, dtype=dtype),
@@ -137,6 +153,7 @@ def pack_nm(
         shape=(m, n_cols),
         n_keep=n_keep,
         group=group,
+        row_scale=row_scale,
     )
 
 
@@ -219,7 +236,20 @@ def nm_spmm(
     precision: str = "bf16",
     interpret: bool | None = None,
 ) -> jnp.ndarray:
-    """Y[M, K] = A . X[n_cols, K] with A in NmFormat."""
+    """Y[M, K] = A . X[n_cols, K] with A in NmFormat.
+
+    int8-packed formats (``pack_nm(dtype=jnp.int8)``) run W8A16: the kernel
+    dots the quantized integers (exact in bf16) against bf16 activations
+    and the per-row dequantization scale is applied once to the result."""
+    if fmt.row_scale is not None:
+        assert precision in ("bf16", "int8"), (
+            "int8-packed N:M weights dot in bf16 (W8A16); fp32 activations "
+            "are not supported on this path")
+        precision = "bf16"
+    else:
+        assert precision != "int8", (
+            "precision='int8' needs an int8-packed format: "
+            "pack_nm(dtype=jnp.int8)")
     assert precision in PRECISIONS, precision
     if interpret is None:
         interpret = kernel_backend_interpret()
@@ -250,6 +280,8 @@ def nm_spmm(
         rb=rb, gt=gt, ktile=ktile, mode=precision,
         packed_bits=fmt.packed_bits, interpret=interpret,
     )
+    if fmt.row_scale is not None:
+        y = y * fmt.row_scale[:, None]
     return y[:m, :k]
 
 

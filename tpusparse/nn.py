@@ -81,7 +81,9 @@ class SparseLinear:
         """N:M structured weight.  ``mode``:
 
         'compact'     the packed MXU kernel — 0.625x dense HBM *capacity*
-                      (bf16 vals + int8 offsets), slower per call than dense
+                      (bf16 vals + int8 offsets; precision='int8' stores
+                      W8A16 quantized vals for 0.375x), slower per call
+                      than dense
         'throughput'  reconstruct dense bf16 on device — full dense-matmul
                       speed at full dense capacity.  On TPU (no sparse MXU)
                       2:4 cannot beat the dense product on throughput: the
@@ -109,7 +111,9 @@ class SparseLinear:
         from tpusparse.kernels.nm_structured import nm_spmm, pack_nm
 
         fmt = pack_nm(w, n_keep=n_keep, group=group,
-                      dtype=jnp.float32 if precision == "fp32" else jnp.bfloat16)
+                      dtype=(jnp.int8 if precision == "int8" else
+                             jnp.float32 if precision == "fp32" else
+                             jnp.bfloat16))
 
         def fn(x):
             return nm_spmm(fmt, x, precision=precision, interpret=interpret)
@@ -126,7 +130,14 @@ class SparseLinear:
 
         from tpusparse.kernels.block_ell import block_ell_spmm, pack_block_ell
 
-        dt = "bfloat16" if precision == "bf16" else "float32"
+        if precision == "int8":
+            import jax.numpy as _jnp
+
+            assert not differentiable, (
+                "int8 block weights are a serving path; train in bf16/fp32")
+            dt = _jnp.int8
+        else:
+            dt = "bfloat16" if precision == "bf16" else "float32"
         fmt = pack_block_ell(mat, bs=bs, dtype=dt)
 
         def fn(x):

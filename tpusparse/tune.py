@@ -304,7 +304,9 @@ def tune(
     for sched in candidates:
         row = {"schedule": sched.describe(), "matrix": sig, "k": k}
         try:
+            t_pack = time.time()
             plan = build_plan(mat, sched, interpret=interpret)
+            row["pack_seconds"] = round(time.time() - t_pack, 4)
             if validate:
                 y = np.asarray(plan(x))
                 tol = rtol
