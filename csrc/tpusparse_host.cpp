@@ -301,4 +301,56 @@ void ts_span_fill(const int64_t* cols, const int64_t* lrow, const float* vals,
   }
 }
 
+// Aligned-window variant (dg_gather family): the window start is aligned
+// DOWN to `align` at chunk creation, so the full window W is usable from an
+// aligned base (the plain chunker aligns to 8 and would need `align` of
+// realign headroom, which at align=W degenerates to zero budget).
+int64_t ts_span_count_al(const int64_t* cols, const int64_t* p_starts,
+                         int64_t p_count, int64_t g, int64_t window,
+                         int64_t align, int64_t* out_nc) {
+  int64_t max_nc = 1;
+  for (int64_t p = 0; p < p_count; ++p) {
+    int64_t i = p_starts[p], hi = p_starts[p + 1], nc = 0;
+    while (i < hi) {
+      int64_t c0 = cols[i] & ~(align - 1);
+      int64_t j = i;
+      int64_t jcap = std::min(i + g, hi);
+      while (j < jcap && cols[j] - c0 < window) ++j;
+      ++nc;
+      i = j;
+    }
+    if (nc == 0) nc = 1;
+    out_nc[p] = nc;
+    if (nc > max_nc) max_nc = nc;
+  }
+  return max_nc;
+}
+
+void ts_span_fill_al(const int64_t* cols, const int64_t* lrow,
+                     const float* vals, const int64_t* p_starts,
+                     int64_t p_count, int64_t g, int64_t window,
+                     int64_t align, int64_t nc,
+                     int32_t* out_c0, int32_t* out_cols, int32_t* out_lrow,
+                     float* out_vals, int64_t* out_dest) {
+  for (int64_t p = 0; p < p_count; ++p) {
+    int64_t i = p_starts[p], hi = p_starts[p + 1], ci = 0;
+    while (i < hi && ci < nc) {
+      int64_t c0 = cols[i] & ~(align - 1);
+      int64_t j = i;
+      int64_t jcap = std::min(i + g, hi);
+      while (j < jcap && cols[j] - c0 < window) ++j;
+      out_c0[p * nc + ci] = (int32_t)c0;
+      int64_t base = (p * nc + ci) * g;
+      for (int64_t t = i; t < j; ++t) {
+        out_cols[base + (t - i)] = (int32_t)(cols[t] - c0);
+        out_lrow[base + (t - i)] = (int32_t)lrow[t];
+        out_vals[base + (t - i)] = vals[t];
+        if (out_dest) out_dest[t] = base + (t - i);
+      }
+      ++ci;
+      i = j;
+    }
+  }
+}
+
 }  // extern "C"

@@ -31,7 +31,7 @@ __version__ = "0.1.0"
 
 def spmm(mat, x, schedule=None, **kwargs):
     """One-shot SpMM: Y = A @ X.  With no schedule, picks the benched
-    default for the K regime (radix_span at K<=32, span_onehot to K<=128,
+    default for the K regime (dg_span at K<=32, span_onehot to K<=128,
     tile_onehot above, all VMEM-gated); pass a Schedule
     (tpusparse.Schedule) to control it, or use tpusparse.tune.tune for
     the autotuned path."""

@@ -28,6 +28,11 @@ Kernel modules and their reference reduction-template counterparts:
                   & segment tokens: nnz-direction chunks, per-segment
                   partials + combine pass (TPU has no atomics); families
                   nnz_segment and segment_span.
+  dg_gather       dynamic-gather SpMM/SpMV (K<=32 champion and the SpMV
+                  default): Mosaic's 128-lane VPU dynamic-gather replaces
+                  the gather/collapse one-hot MXU dots; scatter stays the
+                  joint-encoded one-hot dot.  Near-fp32 accuracy (the
+                  gather is exact; only v*x is hi/lo split).
   block_ell       dense-block MXU path (BASELINE.json block sparsity;
                   XLA batched-einsum formulation — beats dense at >=15%
                   block fill).  W8A8 int8 serving mode: per-row weight +

@@ -224,3 +224,56 @@ def span_pack(cols_sorted, lrow_sorted, vals_sorted, p_starts, g: int,
     if want_dest:
         return c0, out_cols, out_lrow, out_vals, nc_arr, dest
     return c0, out_cols, out_lrow, out_vals, nc_arr
+
+
+def span_pack_aligned(cols_sorted, lrow_sorted, vals_sorted, p_starts,
+                      g: int, window: int, align: int,
+                      want_dest: bool = False):
+    """Aligned-window chunking+fill (dg_gather family): c0 is aligned DOWN
+    to ``align`` at chunk creation so the full ``window`` is usable.  Same
+    return shape as :func:`span_pack`, or None without the native lib (the
+    .so may also predate ts_span_count_al — rebuilt on make)."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "ts_span_count_al"):
+        return None
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    f32p = ctypes.POINTER(ctypes.c_float)
+    if not hasattr(lib, "_span_al_bound"):
+        lib.ts_span_count_al.restype = ctypes.c_int64
+        lib.ts_span_count_al.argtypes = [i64p, i64p, ctypes.c_int64,
+                                         ctypes.c_int64, ctypes.c_int64,
+                                         ctypes.c_int64, i64p]
+        lib.ts_span_fill_al.restype = None
+        lib.ts_span_fill_al.argtypes = [i64p, i64p, f32p, i64p,
+                                        ctypes.c_int64, ctypes.c_int64,
+                                        ctypes.c_int64, ctypes.c_int64,
+                                        ctypes.c_int64, i32p, i32p, i32p,
+                                        f32p, i64p]
+        lib._span_al_bound = True
+    cols_sorted = np.ascontiguousarray(cols_sorted, dtype=np.int64)
+    lrow_sorted = np.ascontiguousarray(lrow_sorted, dtype=np.int64)
+    vals_sorted = np.ascontiguousarray(vals_sorted, dtype=np.float32)
+    p_starts = np.ascontiguousarray(p_starts, dtype=np.int64)
+    p_count = p_starts.size - 1
+    nc_arr = np.zeros(p_count, dtype=np.int64)
+    nc = int(lib.ts_span_count_al(
+        cols_sorted.ctypes.data_as(i64p), p_starts.ctypes.data_as(i64p),
+        p_count, g, window, align, nc_arr.ctypes.data_as(i64p),
+    ))
+    c0 = np.zeros((p_count, nc), dtype=np.int32)
+    out_cols = np.zeros((p_count, nc, g), dtype=np.int32)
+    out_lrow = np.zeros((p_count, nc, g), dtype=np.int32)
+    out_vals = np.zeros((p_count, nc, g), dtype=np.float32)
+    dest = np.zeros(cols_sorted.size, dtype=np.int64) if want_dest else None
+    lib.ts_span_fill_al(
+        cols_sorted.ctypes.data_as(i64p), lrow_sorted.ctypes.data_as(i64p),
+        vals_sorted.ctypes.data_as(f32p), p_starts.ctypes.data_as(i64p),
+        p_count, g, window, align, nc,
+        c0.ctypes.data_as(i32p), out_cols.ctypes.data_as(i32p),
+        out_lrow.ctypes.data_as(i32p), out_vals.ctypes.data_as(f32p),
+        dest.ctypes.data_as(i64p) if want_dest else None,
+    )
+    if want_dest:
+        return c0, out_cols, out_lrow, out_vals, nc_arr, dest
+    return c0, out_cols, out_lrow, out_vals, nc_arr

@@ -45,7 +45,7 @@ from tpusparse.ops import (
 
 KERNEL_FAMILIES = ("stripe_total", "nnz_segment", "segment_span", "tile_onehot",
                    "span_onehot", "span_colsplit", "radix_span", "brick_ell",
-                   "bucketed", "dense", "block_ell", "hybrid_cols")
+                   "dg_span", "bucketed", "dense", "block_ell", "hybrid_cols")
 BLOCKINGS = ("merge_path", "balanced", "fixed_rows")
 
 
@@ -68,6 +68,7 @@ class Schedule:
     g: int = 512
     col_split: int = 0                 # span_colsplit: number of column ranges
     sublanes: int = 128                # radix_span: window sublane count S
+    ns: int = 8                        # dg_span: window tiles (W = ns*128)
     hot_cols: int = 0                  # hybrid_cols: dense hot-column panel width
     # implementing
     precision: str = "fp32x2"          # tile kernel precision mode
@@ -93,7 +94,17 @@ def default_schedule(mat: CooMatrix, k: int | None = None) -> Schedule:
     if k is not None and k > 128:
         return Schedule()  # tile_onehot (streams X, safe at any N)
     if k is not None and k <= 32:
-        # radix lane-packed xp is N*kt*4 bytes (fp32x2) per resident tile
+        # dg x3 is (N+W)*kt*4 bytes f32 per resident tile (same class as
+        # the radix lane packing)
+        from tpusparse.kernels.dg_gather import choose_kt_dg
+
+        kt_d = choose_kt_dg(k)
+        if kt_d == 1 and n * 4 <= 6 * 1024 * 1024:
+            return Schedule(family="dg_span", rb=4096, ns=4, g=2048,
+                            unroll=8, ktile=1)
+        if kt_d > 1 and n * kt_d * 4 <= 6 * 1024 * 1024:
+            return Schedule(family="dg_span", rb=1024, ns=8, g=512,
+                            unroll=8, ktile=kt_d)
         kt_r = choose_kt(k)
         if n * kt_r * 4 <= 6 * 1024 * 1024:
             return Schedule(family="radix_span", rb=1024, sublanes=128, g=1024,
@@ -200,6 +211,27 @@ def _build_sub_plan(ms, ex, sub: int, sched: Schedule, out_rows: int, interpret)
 
         def fn(x, fmt=fmt):
             return radix_spmm(fmt, x, unroll=sched.unroll, interpret=interpret)
+
+        return fmt, fn
+    if sched.family == "dg_span":
+        from tpusparse.kernels.dg_gather import (PRECISIONS, choose_kt_dg,
+                                                 dg_spmm, dg_spmv, pack_dg)
+
+        mode = sched.precision if sched.precision in PRECISIONS else "fp32x2"
+        kt = choose_kt_dg(sched.ktile) if sched.ktile else 8
+        if kt == 1:
+            mode = "fp32x2"
+        fmt = pack_dg(ms, sub, out_rows=out_rows, rb=sched.rb, ns=sched.ns,
+                      g=sched.g, kt=kt, mode=mode)
+
+        if kt == 1:
+            def fn(x, fmt=fmt):
+                assert x.shape[-1] == 1, "ktile=1 dg_span schedules are K=1"
+                return dg_spmv(fmt, x, unroll=sched.unroll,
+                               interpret=interpret).reshape(-1, 1)
+        else:
+            def fn(x, fmt=fmt):
+                return dg_spmm(fmt, x, unroll=sched.unroll, interpret=interpret)
 
         return fmt, fn
     if sched.family == "brick_ell":

@@ -3,11 +3,16 @@ reference's K=1 ``__ldg`` path, total_BMT_...token.cc K=1 branch).
 
 TPU-native methods:
 
+  'dg'       the dynamic-gather kernel at kt=1: one VPU lane-gather per
+             128 nz returns all 8 window-sublane candidates of x, a fixed
+             (128,16) dot fans the products out to the scatter layout —
+             measured 2.1 Gnnz/s on a 10M-nnz power-law matrix (v5e),
+             1.7x radix kt=1 (see kernels/dg_gather.py).
   'radix'    the radix lane-packed kernel at kt=1: 64 X rows share each
              128-lane word (hi/lo bf16), so the gather/collapse/scatter
              dots stay full even for a single dense column — measured
-             1.06 Gnnz/s on a 10M-nnz power-law matrix (v5e), ~16x the
-             segment path and 2.7x the round-1 span path.
+             1.25 Gnnz/s on a 10M-nnz power-law matrix (v5e), ~16x the
+             segment path.
   'span'     the span one-hot kernel with x widened to 8 lanes (wastes
              7/8 lanes; kept for comparison / format reuse with SpMM).
   'segment'  XLA formulation: contrib = vals * take(x, cols) followed by
@@ -16,7 +21,7 @@ TPU-native methods:
   'stripe'   the Pallas stripe kernel with x widened to the 8-sublane
              minimum — useful when the stripe format is already resident
              (amortized with SpMM calls on the same matrix).
-  'auto'     'radix' when the packed x fits VMEM (N*4 bytes), else
+  'auto'     'dg' when the padded x fits VMEM (N*4 bytes), else
              'segment'.
 
 All validate against oracle.spmv_reference.
@@ -44,7 +49,21 @@ def spmv_fn(mat: CooMatrix, method: str = "auto"):
     amortized over calls) when the widened x fits VMEM, else 'segment'."""
     m, n = mat.shape
     if method == "auto":
-        method = "radix" if n * 4 <= 6 * 1024 * 1024 else "segment"
+        method = "dg" if n * 4 <= 6 * 1024 * 1024 else "segment"
+    if method == "dg":
+        from tpusparse.kernels.dg_gather import dg_spmv, pack_dg
+
+        # rb=4096/g=2048 amortize per-program and per-chunk fixed costs;
+        # ns=4 (4096-col window) keeps power-law padding ~1.02 (PERF.md)
+        rb = 4096 if m >= 4096 else max(64, 64 * (-(-m // 64)))
+        fmt = pack_dg(mat, rb=rb, ns=4, g=2048 if mat.nnz > 1 << 20 else 512,
+                      kt=1, mode="fp32x2")
+
+        def fn(x):
+            assert x.shape == (n,), f"x shape {x.shape} != ({n},)"
+            return dg_spmv(fmt, jnp.asarray(x, jnp.float32))
+
+        return fn
     if method == "radix":
         # kt=1 lane packing: spr=64 X rows per sublane word, full MXU lanes
         from tpusparse.kernels.radix_gather import pack_radix, radix_spmm

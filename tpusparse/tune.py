@@ -99,6 +99,42 @@ def default_candidates(mat: CooMatrix, k: int, *, full: bool = False) -> list[Sc
     avg_len = float(lengths.mean()) if lengths.size else 0.0
     skewed = max_len > 32 * max(avg_len, 1.0)
     cands: list[Schedule] = []
+    # dynamic-gather family — the champion at K <= 32 (VPU lane-gather
+    # replaces the gather/collapse MXU dots; see kernels/dg_gather.py).
+    # x3 is (N+W)*kt*4 bytes per resident K-tile: same VMEM gate as radix.
+    from tpusparse.kernels.dg_gather import choose_kt_dg
+
+    kt_dg = choose_kt_dg(k)
+    if k <= 128 and mat.shape[1] * kt_dg * 4 <= 6 * 1024 * 1024:
+        import math
+
+        density = max(mat.density, 1e-8)
+        if kt_dg == 1:
+            dg_cfgs = [(4096, 4, 2048), (4096, 4, 1024), (1024, 8, 512)]
+        else:
+            dg_cfgs = []
+            for rb, g in ((1024, 512), (512, 512), (1024, 1024)):
+                W = min(max(1.0 * g / (density * rb), 256), 16 * 1024)
+                ns = int(min(max(2 ** round(math.log2(max(W / 128, 2))), 2), 32))
+                if (rb, ns, g) not in dg_cfgs:
+                    dg_cfgs.append((rb, ns, g))
+        if full and kt_dg > 1:
+            dg_cfgs = list(dict.fromkeys(
+                dg_cfgs + [(rb, ns, g) for rb in (512, 1024, 2048)
+                           for ns in (4, 8, 16) for g in (512, 1024)]))
+        kts_dg = [kt_dg] if (kt_dg <= 8 or kt_dg == 1) else \
+            list(dict.fromkeys([kt_dg, 8]))
+        for kt_c in kts_dg:
+            for rb, ns, g in (dg_cfgs if kt_c == kt_dg else dg_cfgs[:1]):
+                if kt_c == 1 and rb % 64:
+                    continue
+                for u in ((4, 8, 16) if full else (8,)):
+                    cands.append(Schedule(family="dg_span", rb=rb, ns=ns,
+                                          g=g, unroll=u, ktile=kt_c))
+                if full and kt_c >= 8:
+                    cands.append(Schedule(family="dg_span", rb=rb, ns=ns,
+                                          g=g, unroll=8, ktile=kt_c,
+                                          precision="bf16"))
     # radix lane-packed one-hot — champion at K <= 32 (3-dot decomposition)
     kt_r = choose_kt(k)
     if k <= 128 and mat.shape[1] * kt_r * 4 <= 6 * 1024 * 1024:
