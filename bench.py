@@ -49,7 +49,6 @@ def main():
 
     from tpusparse.bench.baselines import bcoo_spmm_fn
     from tpusparse.bench.harness import gflops, time_fn
-    from tpusparse.generator import build_stripe_plan
     from tpusparse.io import builder
     from tpusparse.oracle import check_result, spmm_reference
 
@@ -76,7 +75,15 @@ def main():
     from tpusparse.tune import _radix_configs
 
     candidates = []
-    for rb, S, g in _radix_configs(mat.density, 8)[:2] + [(1024, 128, 1024)]:
+    for rb, ns, g, u in ((256, 8, 256, 8), (512, 8, 512, 8), (256, 8, 512, 8)):
+        candidates.append((
+            f"dg rb={rb} ns={ns} g={g} u={u}",
+            lambda rb=rb, ns=ns, g=g, u=u: build_plan(
+                mat, Schedule(family="dg_span", rb=rb, ns=ns, g=g,
+                              unroll=u, ktile=8)
+            ),
+        ))
+    for rb, S, g in _radix_configs(mat.density, 8)[:1] + [(1024, 128, 1024)]:
         name = f"radix rb={rb} S={S} g={g}"
         if any(n == name for n, _ in candidates):
             continue
@@ -87,24 +94,20 @@ def main():
                               unroll=4, ktile=8)
             ),
         ))
-    for rb, ct, g in _span_configs(mat.density)[:2]:
+    for rb, ct, g in _span_configs(mat.density)[:1]:
         candidates.append((
             f"span rb={rb} ct={ct} g={g}",
             lambda rb=rb, ct=ct, g=g: build_plan(
                 mat, Schedule(family="span_onehot", rb=rb, ct=ct, g=g, unroll=4)
             ),
         ))
-    for rb, ct, g, u in ((1024, 1024, 512, 4), (1024, 512, 256, 4)):
+    for rb, ct, g, u in ((1024, 1024, 512, 4),):
         candidates.append((
             f"tile rb={rb} ct={ct} g={g} u={u}",
             lambda rb=rb, ct=ct, g=g, u=u: build_tile_plan(
                 mat, rb=rb, ct=ct, g=g, precision="fp32x2"
             ),
         ))
-    candidates.append((
-        "stripe work=1024",
-        lambda: build_stripe_plan(mat, work_per_stripe=1024, unroll=8),
-    ))
     best = None
     for name, make in candidates:
         try:

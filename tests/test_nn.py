@@ -88,13 +88,13 @@ def test_from_block_differentiable():
     np.testing.assert_allclose(np.asarray(g), np.asarray(gd), rtol=5e-3, atol=5e-3)
 
 
-def test_sparse_linear_k_hint_picks_radix():
+def test_sparse_linear_k_hint_picks_dg():
     from tpusparse.io import builder
     from tpusparse.nn import SparseLinear
 
     mat = builder.power_law_coo(128, 96, avg_nnz_per_row=5.0, seed=2)
     lyr = SparseLinear.from_coo(mat, k_hint=8)
-    assert lyr.meta["schedule"]["family"] == "radix_span"
+    assert lyr.meta["schedule"]["family"] == "dg_span"
     x = np.random.default_rng(0).standard_normal((4, 96)).astype(np.float32)
     y = np.asarray(lyr(x))
     want = x @ mat.to_dense(np.float64).T

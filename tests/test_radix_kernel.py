@@ -149,16 +149,16 @@ def test_radix_in_default_candidates():
     assert "radix_span" in fams
 
 
-def test_default_schedule_prefers_radix_small_k():
+def test_default_schedule_prefers_dg_small_k():
     from tpusparse.schedule import default_schedule
 
     mat, _ = _case()
-    assert default_schedule(mat, 8).family == "radix_span"
-    assert default_schedule(mat, 1).family == "radix_span"
+    assert default_schedule(mat, 8).family == "dg_span"
+    assert default_schedule(mat, 1).family == "dg_span"
     # large N at kt budget falls back
     big = CooMatrix(np.array([0]), np.array([0]), np.array([1.0]),
                     (100, 3_000_000))
-    assert default_schedule(big, 8).family != "radix_span"
+    assert default_schedule(big, 8).family not in ("radix_span", "dg_span")
 
 
 def test_spmv_radix_method():
