@@ -227,7 +227,8 @@ def test_default_schedule_vmem_gate():
     small = CooMatrix(np.array([0]), np.array([0]), np.array([1.0]), (100, 1000))
     big = CooMatrix(np.array([0]), np.array([0]), np.array([1.0]), (100, 2_000_000))
     assert default_schedule(small, 8).family == "dg_span"
-    assert default_schedule(small, 64).family == "span_onehot"
+    assert default_schedule(small, 64).family == "dg_span"  # kt=32 tiling
+    assert default_schedule(small, 64).ktile == 32
     assert default_schedule(big, 8).family == "span_colsplit"
     assert default_schedule(big).family == "tile_onehot"   # K unknown: streaming-safe
     assert default_schedule(small, 512).family == "tile_onehot"

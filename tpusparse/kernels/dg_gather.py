@@ -327,16 +327,22 @@ def _dg_kernel(c0_ref, cols_ref, lrow_ref, vals_ref, x3_ref, y_ref, *,
         colw = cols_ref[0, pl.ds(j, 1), :]           # (1, G)
         lrow = lrow_ref[0, pl.ds(j, 1), :]
         v = vals_ref[0, pl.ds(j, 1), :]
-        # (1,G) -> (kt,G) via a broadcasting add: Mosaic rejects the direct
-        # vector.broadcast of a 1-sublane i32 vector to more sublanes
-        colw_b = colw + jnp.zeros((kt, 1), jnp.int32)
-        lidx = colw_b % 128
-        widx = colw_b // 128
+        # Index math stays at EXACTLY 8 sublanes: Mosaic rejects the direct
+        # vector.broadcast of a 1-sublane i32 vector, and lane-slicing i32
+        # vectors at any sublane count other than 8 crashes its
+        # vector_extract_strided_slice pass (v5e, verified) — so broadcast
+        # (1,G)->(8,G) via an add, slice (8,128) tiles, and sublane-stack
+        # to (kt,128) for the gather.
+        colw8 = colw + jnp.zeros((8, 1), jnp.int32)
+        lidx8 = colw8 % 128
+        widx8 = colw8 // 128
+        rep = kt // 8
         xws = [x3_ref[0, pl.ds(w0 + w, 1)][0] for w in range(ns)]  # (kt,128)
         parts = []
         for tt in range(g // 128):
             sl = slice(tt * 128, (tt + 1) * 128)
-            li, wi = lidx[:, sl], widx[:, sl]
+            li = jnp.concatenate([lidx8[:, sl]] * rep, axis=0)   # (kt,128)
+            wi = jnp.concatenate([widx8[:, sl]] * rep, axis=0)
             xg_t = jnp.zeros((kt, 128), f32)
             for w in range(ns):
                 gt = jnp.take_along_axis(xws[w], li, axis=1)

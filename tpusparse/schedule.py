@@ -109,6 +109,11 @@ def default_schedule(mat: CooMatrix, k: int | None = None) -> Schedule:
         if n * kt_r * 4 <= 6 * 1024 * 1024:
             return Schedule(family="radix_span", rb=1024, sublanes=128, g=1024,
                             unroll=4, ktile=kt_r)
+    if k is not None and k <= 128 and n * 32 * 4 <= 6 * 1024 * 1024:
+        # dg at kt=32 beats span at 32 < K <= 128 (57 vs 50 GF/s at K=64,
+        # 59 vs 44 at K=128, 16k^2 power-law on v5e)
+        return Schedule(family="dg_span", rb=512, ns=8, g=512, unroll=8,
+                        ktile=32)
     if x_bytes <= 6 * 1024 * 1024:
         return Schedule(family="span_onehot", rb=512, ct=1024, g=512, unroll=4)
     if k is not None:

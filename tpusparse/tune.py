@@ -122,6 +122,10 @@ def default_candidates(mat: CooMatrix, k: int, *, full: bool = False) -> list[Sc
             dg_cfgs = list(dict.fromkeys(
                 dg_cfgs + [(rb, ns, g) for rb in (512, 1024, 2048)
                            for ns in (4, 8, 16) for g in (512, 1024)]))
+        # at K > kt the grid re-streams the chunk planes per K-tile, so the
+        # largest kt (choose_kt_dg already picks 32 for K > 16) usually wins
+        # at K >= 64 (measured: kt=32 57-59 GF/s vs kt=16's 48 at K=64/128);
+        # the kt=8 alternative trades a 4x smaller scatter contraction
         kts_dg = [kt_dg] if (kt_dg <= 8 or kt_dg == 1) else \
             list(dict.fromkeys([kt_dg, 8]))
         for kt_c in kts_dg:
