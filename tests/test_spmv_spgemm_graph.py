@@ -154,7 +154,7 @@ def test_matvec_plan_semiring_hook():
     x = np.random.default_rng(0).standard_normal(200).astype(np.float32)
     fn = graph.matvec_plan(mat, semiring="plus_times")
     assert fn.meta["calculation_method"] == 0
-    assert fn.meta["method"] == "radix"  # packed champion path at this size
+    assert fn.meta["method"] == "dg"  # packed champion path at this size
     y = np.asarray(fn(jnp.asarray(x)))
     want = np.zeros(200)
     np.add.at(want, mat.rows, np.asarray(mat.vals) * x[mat.cols])

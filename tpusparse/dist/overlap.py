@@ -580,3 +580,115 @@ def build_halo_radix_spmm(
         )
 
     return fn, put_inputs
+
+
+def pack_halo_dg(
+    mat: CooMatrix,
+    n_devices: int,
+    *,
+    rows_per_program: int = 1024,
+    ns: int = 4,
+    g: int = 256,
+    kt: int = 8,
+    mode: str = "fp32x2",
+) -> HaloSpanFormat:
+    """Halo ring format for the dynamic-gather kernel: span packing with
+    window starts aligned to the 128-column tile (ct = ns*128; ns >= 2 so
+    the chunk-then-realign walk keeps a positive budget)."""
+    from tpusparse.kernels.dg_gather import dg_geometry
+
+    wt, _, ngrp = dg_geometry(kt, mode)
+    assert wt == 128 and ns >= 2, (wt, ns)
+    assert rows_per_program % ngrp == 0
+    assert g % 128 == 0, f"g={g} must be a multiple of the 128-lane tile"
+    return pack_halo_span(mat, n_devices, rows_per_program=rows_per_program,
+                          ct=ns * 128, g=g, align=128)
+
+
+def build_halo_dg_spmm(
+    fmt: HaloSpanFormat,
+    mesh: Mesh,
+    *,
+    kt: int = 8,
+    mode: str = "fp32x2",
+    unroll: int = 4,
+    interpret: bool | None = None,
+):
+    """Dynamic-gather variant of the ppermute ring (the champion per-chip
+    path across K <= 128): same overlap structure as build_halo_radix_spmm;
+    each ring step transposes the resident X chunk into window tiles and
+    runs the VPU lane-gather kernel on its sub-format."""
+    from tpusparse.kernels.dg_gather import _dg_call
+
+    if interpret is None:
+        interpret = kernel_backend_interpret()
+    d = fmt.n_devices
+    assert mesh.shape["rows"] == d, (mesh.shape, d)
+    k_sharded = "k" in mesh.shape and mesh.shape["k"] > 1
+    kspec = "k" if k_sharded else None
+    p_loc = fmt.programs_per_device
+    rb = fmt.rb
+    nc = fmt.n_chunks_span
+    g = fmt.chunk_g
+    ns = fmt.ct // 128
+    perm = [(i, (i + 1) % d) for i in range(d)]
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P("rows"), P("rows"), P("rows"), P("rows"), P("rows", kspec)),
+        out_specs=P("rows", kspec),
+        check_vma=False,
+    )
+    def ring_kernel(c0, cols, lrow, vals, x_chunk):
+        c0, cols, lrow, vals = c0[0], cols[0], lrow[0], vals[0]
+        me = jax.lax.axis_index("rows")
+        k_in = x_chunk.shape[1]
+        if k_in % kt:
+            x_chunk = jnp.pad(x_chunk, ((0, 0), (0, kt - k_in % kt)))
+
+        def step(s, carry):
+            x_cur, y = carry
+            x_next = jax.lax.ppermute(x_cur, "rows", perm)
+            chunk = jax.lax.rem(me - s + d, d)
+            sub = [jax.lax.dynamic_index_in_dim(a, chunk, 0, keepdims=False)
+                   for a in (c0, cols, lrow, vals)]
+            part = _dg_call(
+                sub[0], sub[1], sub[2], sub[3], x_cur,
+                P=p_loc, nc=nc, g=g, rb=rb, ns=ns, kt=kt, mode=mode,
+                unroll=unroll, interpret=interpret,
+            )
+            return x_next, y + part
+
+        y0 = jnp.zeros((p_loc * rb, x_chunk.shape[1]), jnp.float32)
+        _, y = jax.lax.fori_loop(0, d, step, (x_chunk, y0))
+        return y[:, :k_in]
+
+    @jax.jit
+    def fn(c0, cols, lrow, vals, slot, x):
+        y_slots = ring_kernel(c0, cols, lrow, vals, x)
+        oob = y_slots.shape[0]
+        slot = jnp.where(slot < 0, oob, slot)
+        return jnp.take(y_slots, slot, axis=0, mode="fill", fill_value=0)
+
+    def put_inputs(x):
+        n_pad = d * fmt.n_chunk_rows
+        x = jnp.asarray(x, jnp.float32)
+        if x.shape[0] < n_pad:
+            x = jnp.pad(x, ((0, n_pad - x.shape[0]), (0, 0)))
+        # chunk tail pad >= the window so tiles never read past the shard
+        w_pad = ((fmt.ct + 127) // 128) * 128 + 128
+        xc = x.reshape(d, fmt.n_chunk_rows, -1)
+        xc = jnp.pad(xc, ((0, 0), (0, w_pad), (0, 0)))
+        xflat = xc.reshape(d * (fmt.n_chunk_rows + w_pad), -1)
+        row5 = NamedSharding(mesh, P("rows", None, None, None, None))
+        return (
+            jax.device_put(fmt.c0, row5),
+            jax.device_put(fmt.cols, row5),
+            jax.device_put(fmt.lrow, row5),
+            jax.device_put(fmt.vals, row5),
+            jax.device_put(fmt.slot_of_origrow, NamedSharding(mesh, P())),
+            jax.device_put(xflat, NamedSharding(mesh, P("rows", kspec))),
+        )
+
+    return fn, put_inputs

@@ -189,6 +189,7 @@ def pack_dg(
     wt, nhl, ngrp = dg_geometry(kt, mode)
     W = ns * wt
     assert rb % ngrp == 0, f"rb={rb} must be a multiple of ngrp={ngrp}"
+    assert g % 128 == 0, f"g={g} must be a multiple of the 128-lane tile"
 
     if isinstance(mat_or_ms, CooMatrix):
         rows = mat_or_ms.rows.astype(np.int64)
