@@ -415,6 +415,9 @@ def _dg1_kernel(c0_ref, cols_ref, lrow_ref, vals_ref, x3_ref, y_ref, *,
         p = csel * v
         phi, plo = _split_bf16(p)
         c2 = jnp.concatenate([phi, plo], axis=0)     # (16, G)
+        # NOTE: Mosaic requires a 32-bit matmul accumulator ('tpu.matmul op
+        # Expected matmul acc to be 32-bit', v5e) — a bf16-preferred B-dot
+        # that would let the group mask run on bf16 vregs is rejected.
         psel_pre = jax.lax.dot_general(
             B, c2, dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=f32)              # (128, G)
