@@ -28,7 +28,7 @@ Kernel modules and their reference reduction-template counterparts:
                   & segment tokens: nnz-direction chunks, per-segment
                   partials + combine pass (TPU has no atomics); families
                   nnz_segment and segment_span.
-  dg_gather       dynamic-gather SpMM/SpMV (K<=32 champion and the SpMV
+  dg_gather       dynamic-gather SpMM/SpMV (K<=128 champion and the SpMV
                   default): Mosaic's 128-lane VPU dynamic-gather replaces
                   the gather/collapse one-hot MXU dots; scatter stays the
                   joint-encoded one-hot dot.  Near-fp32 accuracy (the
