@@ -6,7 +6,11 @@ K=512, N:M (2:4) structured, and block-sparse — through the autotuner and
 prints one JSON line per (workload, K) with the winning schedule, GFLOP/s,
 and the baseline ratio.  Writes results to BENCH_SUITE.jsonl.
 
-Run: python -m tpusparse.bench.suite [--quick]
+Run: python -m tpusparse.bench.suite [--quick] [--only SUBSTR]
+
+``--only SUBSTR`` runs just the sections whose tag contains SUBSTR
+(tags: suite, layout, nested, pruned, trainable, nm, block, quant,
+spmv, graph, spgemm) — cheap targeted refreshes on the real chip.
 """
 
 from __future__ import annotations
@@ -16,7 +20,12 @@ import sys
 import time
 
 
-def run_suite(quick: bool = False, out_path: str = "BENCH_SUITE.jsonl"):
+class _Deselected(Exception):
+    """Raised inside a try-wrapped section the --only filter skips."""
+
+
+def run_suite(quick: bool = False, out_path: str = "BENCH_SUITE.jsonl",
+              only: str | None = None):
 
     import jax.numpy as jnp
     import numpy as np
@@ -40,6 +49,9 @@ def run_suite(quick: bool = False, out_path: str = "BENCH_SUITE.jsonl"):
         rows.append(row)
         print(json.dumps(row), flush=True)
 
+    def sel(tag):
+        return only is None or only in tag
+
     def pct_roofline(fmt_bytes, m, n, k, sec):
         """Achieved traffic (format read + X read + Y write, each once) as
         % of the MEASURED stream bandwidth — the honest roofline column
@@ -62,7 +74,7 @@ def run_suite(quick: bool = False, out_path: str = "BENCH_SUITE.jsonl"):
         "uniform": builder.uniform_coo(size, size, nnz_per_row=12, seed=2),
         "banded": builder.banded_coo(size, size, bandwidth=48, seed=3),
     }
-    for name, mat in workloads.items():
+    for name, mat in (workloads.items() if sel("suite") else []):
         for k in ([8] if quick else [8, 32, 128]):
             x = np.random.default_rng(0).standard_normal((mat.shape[1], k)).astype(np.float32)
             try:
@@ -86,7 +98,7 @@ def run_suite(quick: bool = False, out_path: str = "BENCH_SUITE.jsonl"):
     # brick-ELL layout vs column-sorted span chunking, SAME radix kernel
     from tpusparse.schedule import Schedule, build_plan
 
-    for name, mat in workloads.items():
+    for name, mat in (workloads.items() if sel("layout") else []):
         for k in ([8] if quick else [8, 32]):
             x = np.random.default_rng(0).standard_normal((mat.shape[1], k)).astype(np.float32)
             for fam, S in (("radix_span", 128), ("brick_ell", 256)):
@@ -110,7 +122,7 @@ def run_suite(quick: bool = False, out_path: str = "BENCH_SUITE.jsonl"):
     # schedule measured on at least one workload)
     mat_n = workloads["uniform"]
     xn = np.random.default_rng(7).standard_normal((mat_n.shape[1], 8)).astype(np.float32)
-    for fam in ("stripe_total", "stripe_nested"):
+    for fam in (("stripe_total", "stripe_nested") if sel("nested") else ()):
         try:
             plan = build_plan(mat_n, Schedule(family=fam, work_per_block=4096,
                                               unroll=8))
@@ -126,145 +138,156 @@ def run_suite(quick: bool = False, out_path: str = "BENCH_SUITE.jsonl"):
                   "error": f"{type(e).__name__}: {e}"})
 
     # ---- config #3: pruned-LLM unstructured bf16, K=512
-    w = builder.pruned_weight_coo(4096 if quick else 8192, 4096 if quick else 8192,
-                                  sparsity=0.9, seed=7)
-    k = 512
-    x = np.random.default_rng(1).standard_normal((w.shape[1], k)).astype(np.float32)
-    try:
-        res = tune(w, x, iters=5, validate=False)
-        emit({
-            "bench": "pruned_llm_90", "k": k, "nnz": w.nnz,
-            "gflops": round(gflops(w.nnz, k, res.best_seconds), 3),
-            "schedule": res.best_schedule.family,
-        })
-    except Exception as e:
-        emit({"bench": "pruned_llm_90", "k": k, "error": f"{type(e).__name__}: {e}"})
+    if sel("pruned"):
+        w = builder.pruned_weight_coo(4096 if quick else 8192,
+                                      4096 if quick else 8192,
+                                      sparsity=0.9, seed=7)
+        k = 512
+        x = np.random.default_rng(1).standard_normal((w.shape[1], k)).astype(np.float32)
+        try:
+            res = tune(w, x, iters=5, validate=False)
+            emit({
+                "bench": "pruned_llm_90", "k": k, "nnz": w.nnz,
+                "gflops": round(gflops(w.nnz, k, res.best_seconds), 3),
+                "schedule": res.best_schedule.family,
+            })
+        except Exception as e:
+            emit({"bench": "pruned_llm_90", "k": k, "error": f"{type(e).__name__}: {e}"})
 
     # ---- trainable sparse training step (fwd + SDDMM dv + transpose dx)
     import jax
 
     from tpusparse.nn import TrainableSparseLinear
 
-    try:
-        tm = 2048 if quick else 4096
-        tw = builder.pruned_weight_coo(tm, tm, sparsity=0.9, seed=21)
-        tk = 256
-        layer = TrainableSparseLinear(tw, bias=False)
-        params = layer.init()
-        rngt = np.random.default_rng(22)
-        xb = jnp.asarray(rngt.standard_normal((tk, tm)), jnp.float32)
-        tt = jnp.asarray(rngt.standard_normal((tk, tm)), jnp.float32)
+    if sel("trainable"):
+        try:
+            tm = 2048 if quick else 4096
+            tw = builder.pruned_weight_coo(tm, tm, sparsity=0.9, seed=21)
+            tk = 256
+            layer = TrainableSparseLinear(tw, bias=False)
+            params = layer.init()
+            rngt = np.random.default_rng(22)
+            xb = jnp.asarray(rngt.standard_normal((tk, tm)), jnp.float32)
+            tt = jnp.asarray(rngt.standard_normal((tk, tm)), jnp.float32)
 
-        def grad_step(x):
-            gp, gx = jax.grad(
-                lambda p, x: jnp.mean((layer.apply(p, x) - tt) ** 2),
-                argnums=(0, 1))(params, x)
-            # consume BOTH cotangents so neither grad kernel is dead code
-            return gp["vals"] + jnp.mean(gx)
+            def grad_step(x):
+                gp, gx = jax.grad(
+                    lambda p, x: jnp.mean((layer.apply(p, x) - tt) ** 2),
+                    argnums=(0, 1))(params, x)
+                # consume BOTH cotangents so neither grad kernel is dead code
+                return gp["vals"] + jnp.mean(gx)
 
-        np.asarray(grad_step(xb))
-        sec = time_fn(grad_step, xb, iters=3)
-        emit({
-            "bench": "trainable_step_pruned90", "k": tk, "nnz": tw.nnz,
-            "seconds": round(sec, 4),
-            # one step = 3 SpMM-shaped passes (fwd, dv, dx)
-            "gflops": round(3 * gflops(tw.nnz, tk, sec), 3),
-        })
-    except Exception as e:
-        emit({"bench": "trainable_step_pruned90",
-              "error": f"{type(e).__name__}: {e}"})
+            np.asarray(grad_step(xb))
+            sec = time_fn(grad_step, xb, iters=3)
+            emit({
+                "bench": "trainable_step_pruned90", "k": tk, "nnz": tw.nnz,
+                "seconds": round(sec, 4),
+                # one step = 3 SpMM-shaped passes (fwd, dv, dx)
+                "gflops": round(3 * gflops(tw.nnz, tk, sec), 3),
+            })
+        except Exception as e:
+            emit({"bench": "trainable_step_pruned90",
+                  "error": f"{type(e).__name__}: {e}"})
 
     # ---- config #4: N:M (2:4) structured, batched
     m = 2048 if quick else 4096
-    dense = builder.nm_pruned_dense(m, m, n_keep=2, group=4, seed=5)
-    fmt = pack_nm(dense)
-    xb = np.random.default_rng(2).standard_normal((4, m, 128)).astype(np.float32)
-    fn = lambda xx: nm_spmm(fmt, xx, precision="bf16")
-    y = np.asarray(batched_spmm(fn, jnp.asarray(xb)))  # exercise batched path
-    sec = time_fn(fn, jnp.asarray(xb[0]), iters=5)
-    nnz = fmt.nnz
-    emit({
-        "bench": "nm_2_4_batched", "k": 128, "nnz": nnz,
-        "gflops": round(gflops(nnz, 128, sec), 3),
-        "batched_shape": list(y.shape),
-    })
+    if sel("nm") or sel("quant"):
+        dense = builder.nm_pruned_dense(m, m, n_keep=2, group=4, seed=5)
+        xb = np.random.default_rng(2).standard_normal((4, m, 128)).astype(np.float32)
+    if sel("nm"):
+        fmt = pack_nm(dense)
+        fn = lambda xx: nm_spmm(fmt, xx, precision="bf16")
+        y = np.asarray(batched_spmm(fn, jnp.asarray(xb)))  # exercise batched path
+        sec = time_fn(fn, jnp.asarray(xb[0]), iters=5)
+        nnz = fmt.nnz
+        emit({
+            "bench": "nm_2_4_batched", "k": 128, "nnz": nnz,
+            "gflops": round(gflops(nnz, 128, sec), 3),
+            "batched_shape": list(y.shape),
+        })
 
     # ---- config #4b: block-sparse MXU path
-    bmat = builder.block_sparse_coo(m, m, block=128, block_density=0.15, seed=6)
-    bfmt = pack_block_ell(bmat, bs=128, dtype="bfloat16")
-    xB = np.random.default_rng(3).standard_normal((m, 256)).astype(np.float32)
-    bfn = lambda xx: block_ell_spmm(bfmt, xx, precision="bf16")
-    np.asarray(bfn(jnp.asarray(xB)))
-    sec = time_fn(bfn, jnp.asarray(xB), iters=5)
-    emit({
-        "bench": "block_sparse_128", "k": 256, "nnz": bmat.nnz,
-        "gflops": round(gflops(bmat.nnz, 256, sec), 3),
-        "padding_rate": bfmt.padding_rate,
-    })
+    if sel("block") or sel("quant"):
+        bmat = builder.block_sparse_coo(m, m, block=128, block_density=0.15, seed=6)
+        bfmt = pack_block_ell(bmat, bs=128, dtype="bfloat16")
+        xB = np.random.default_rng(3).standard_normal((m, 256)).astype(np.float32)
+        bfn = lambda xx: block_ell_spmm(bfmt, xx, precision="bf16")
+        np.asarray(bfn(jnp.asarray(xB)))
+        bsec = time_fn(bfn, jnp.asarray(xB), iters=5)
+    if sel("block"):
+        emit({
+            "bench": "block_sparse_128", "k": 256, "nnz": bmat.nnz,
+            "gflops": round(gflops(bmat.nnz, 256, bsec), 3),
+            "padding_rate": bfmt.padding_rate,
+        })
 
     # ---- quantized serving paths: W8A8 block-sparse, W8A16 N:M
-    try:
-        qfmt = pack_block_ell(bmat, bs=128, dtype=jnp.int8)
-        qfn = lambda xx: block_ell_spmm(qfmt, xx)
-        np.asarray(qfn(jnp.asarray(xB)))
-        qsec = time_fn(qfn, jnp.asarray(xB), iters=5)
-        emit({
-            "bench": "block_sparse_128_int8", "k": 256, "nnz": bmat.nnz,
-            "gflops": round(gflops(bmat.nnz, 256, qsec), 3),
-            "vs_bf16": round(sec / qsec, 3),
-            "format_bytes": qfmt.memory_bytes,
-        })
-        nm8 = pack_nm(dense, dtype=jnp.int8)
-        nfn = lambda xx: nm_spmm(nm8, xx, precision="int8")
-        np.asarray(nfn(jnp.asarray(xb[0])))
-        nsec = time_fn(nfn, jnp.asarray(xb[0]), iters=5)
-        emit({
-            "bench": "nm_2_4_int8_w8a16", "k": 128, "nnz": nm8.nnz,
-            "gflops": round(gflops(nm8.nnz, 128, nsec), 3),
-            "format_bytes": nm8.memory_bytes,
-        })
-    except Exception as e:
-        emit({"bench": "quantized", "error": f"{type(e).__name__}: {e}"})
+    if sel("quant"):
+        try:
+            qfmt = pack_block_ell(bmat, bs=128, dtype=jnp.int8)
+            qfn = lambda xx: block_ell_spmm(qfmt, xx)
+            np.asarray(qfn(jnp.asarray(xB)))
+            qsec = time_fn(qfn, jnp.asarray(xB), iters=5)
+            emit({
+                "bench": "block_sparse_128_int8", "k": 256, "nnz": bmat.nnz,
+                "gflops": round(gflops(bmat.nnz, 256, qsec), 3),
+                "vs_bf16": round(bsec / qsec, 3),
+                "format_bytes": qfmt.memory_bytes,
+            })
+            nm8 = pack_nm(dense, dtype=jnp.int8)
+            nfn = lambda xx: nm_spmm(nm8, xx, precision="int8")
+            np.asarray(nfn(jnp.asarray(xb[0])))
+            nsec = time_fn(nfn, jnp.asarray(xb[0]), iters=5)
+            emit({
+                "bench": "nm_2_4_int8_w8a16", "k": 128, "nnz": nm8.nnz,
+                "gflops": round(gflops(nm8.nnz, 128, nsec), 3),
+                "format_bytes": nm8.memory_bytes,
+            })
+        except Exception as e:
+            emit({"bench": "quantized", "error": f"{type(e).__name__}: {e}"})
 
     # ---- SpMV (K=1 path) — at a scale where dispatch overhead does not
     # dominate (>= 10M nnz non-quick; VERDICT r1 weak #1)
     from tpusparse.spmv import spmv_fn
 
-    mv_n = 65536 if quick else 262144
-    mv = builder.power_law_coo(mv_n, mv_n, avg_nnz_per_row=40.0, seed=9)
-    xv = np.random.default_rng(4).standard_normal(mv.shape[1]).astype(np.float32)
-    for method in ("radix", "span"):
-        try:
-            vfn = spmv_fn(mv, method=method)
-            np.asarray(vfn(jnp.asarray(xv)))
-            sec = time_fn(vfn, jnp.asarray(xv), iters=10)
-            fb = 12 * mv.nnz  # ~ c0/cols/lrow/vals packed bytes per nz
-            emit({
-                "bench": f"spmv_powerlaw/{method}", "k": 1, "nnz": mv.nnz,
-                "gflops": round(gflops(mv.nnz, 1, sec), 3),
-                "gnnz_per_s": round(mv.nnz / sec / 1e9, 3),
-                "pct_roofline": pct_roofline(fb, mv.shape[0], mv.shape[1], 1, sec),
-            })
-        except Exception as e:
-            emit({"bench": f"spmv_powerlaw/{method}", "k": 1,
-                  "error": f"{type(e).__name__}: {e}"})
-    # XLA take+segment_sum comparison at small scale only (the scalar
-    # gather needs minutes for 10M nnz on TPU)
-    mvs = workloads["powerlaw"]
-    xs = np.random.default_rng(5).standard_normal(mvs.shape[1]).astype(np.float32)
-    vfn = spmv_fn(mvs, method="segment")
-    np.asarray(vfn(jnp.asarray(xs)))
-    sec = time_fn(vfn, jnp.asarray(xs), iters=10)
-    emit({
-        "bench": "spmv_small/segment", "k": 1, "nnz": mvs.nnz,
-        "gnnz_per_s": round(mvs.nnz / sec / 1e9, 3),
-    })
+    if sel("spmv"):
+        mv_n = 65536 if quick else 262144
+        mv = builder.power_law_coo(mv_n, mv_n, avg_nnz_per_row=40.0, seed=9)
+        xv = np.random.default_rng(4).standard_normal(mv.shape[1]).astype(np.float32)
+        for method in ("dg", "radix", "span"):
+            try:
+                vfn = spmv_fn(mv, method=method)
+                np.asarray(vfn(jnp.asarray(xv)))
+                sec = time_fn(vfn, jnp.asarray(xv), iters=10)
+                fb = 12 * mv.nnz  # ~ c0/cols/lrow/vals packed bytes per nz
+                emit({
+                    "bench": f"spmv_powerlaw/{method}", "k": 1, "nnz": mv.nnz,
+                    "gflops": round(gflops(mv.nnz, 1, sec), 3),
+                    "gnnz_per_s": round(mv.nnz / sec / 1e9, 3),
+                    "pct_roofline": pct_roofline(fb, mv.shape[0], mv.shape[1], 1, sec),
+                })
+            except Exception as e:
+                emit({"bench": f"spmv_powerlaw/{method}", "k": 1,
+                      "error": f"{type(e).__name__}: {e}"})
+        # XLA take+segment_sum comparison at small scale only (the scalar
+        # gather needs minutes for 10M nnz on TPU)
+        mvs = workloads["powerlaw"]
+        xs = np.random.default_rng(5).standard_normal(mvs.shape[1]).astype(np.float32)
+        vfn = spmv_fn(mvs, method="segment")
+        np.asarray(vfn(jnp.asarray(xs)))
+        sec = time_fn(vfn, jnp.asarray(xs), iters=10)
+        emit({
+            "bench": "spmv_small/segment", "k": 1, "nnz": mvs.nnz,
+            "gnnz_per_s": round(mvs.nnz / sec / 1e9, 3),
+        })
 
     # ---- graph algorithms through the packed matvec plan (VERDICT r1 #6)
     from tpusparse import graph
 
     gm = builder.power_law_coo(size, size, avg_nnz_per_row=16.0, seed=11)
     try:
+        if not sel("graph"):
+            raise _Deselected
         fn = graph.matvec_plan(gm, semiring="plus_times")
         xg = jnp.asarray(np.random.default_rng(8).standard_normal(size), jnp.float32)
         np.asarray(fn(xg))
@@ -307,6 +330,8 @@ def run_suite(quick: bool = False, out_path: str = "BENCH_SUITE.jsonl"):
             "seconds": round(bfs_sec, 4),
             "reached": int((np.asarray(lv) >= 0).sum()),
         })
+    except _Deselected:
+        pass
     except Exception as e:
         emit({"bench": "graph", "error": f"{type(e).__name__}: {e}"})
 
@@ -314,6 +339,8 @@ def run_suite(quick: bool = False, out_path: str = "BENCH_SUITE.jsonl"):
     from tpusparse.spgemm import spgemm_fn
 
     try:
+        if not sel("spgemm"):
+            raise _Deselected
         sa = builder.power_law_coo(4096, 4096, avg_nnz_per_row=8.0, seed=12)
         sb = builder.power_law_coo(4096, 4096, avg_nnz_per_row=8.0, seed=13)
         import time as _t
@@ -334,6 +361,8 @@ def run_suite(quick: bool = False, out_path: str = "BENCH_SUITE.jsonl"):
             "seconds_cold": round(sg_cold, 3),
             "gflops": round(flops / sg_sec / 1e9, 3),
         })
+    except _Deselected:
+        pass
     except Exception as e:
         emit({"bench": "spgemm_powerlaw_4k", "error": f"{type(e).__name__}: {e}"})
 
@@ -344,4 +373,7 @@ def run_suite(quick: bool = False, out_path: str = "BENCH_SUITE.jsonl"):
 
 
 if __name__ == "__main__":
-    run_suite(quick="--quick" in sys.argv)
+    _only = None
+    if "--only" in sys.argv:
+        _only = sys.argv[sys.argv.index("--only") + 1]
+    run_suite(quick="--quick" in sys.argv, only=_only)
