@@ -83,6 +83,14 @@ def main():
                               unroll=u, ktile=8)
             ),
         ))
+    for resid, rb, nw in ((True, 256, 4), (False, 256, 8), (True, 512, 4)):
+        candidates.append((
+            f"dgt resid={int(resid)} rb={rb} nw={nw} g=512",
+            lambda resid=resid, rb=rb, nw=nw: build_plan(
+                mat, Schedule(family="dgt_span", rb=rb, nw=nw, resid=resid,
+                              g=512, unroll=8, ktile=8)
+            ),
+        ))
     for rb, S, g in _radix_configs(mat.density, 8)[:1] + [(1024, 128, 1024)]:
         name = f"radix rb={rb} S={S} g={g}"
         if any(n == name for n, _ in candidates):

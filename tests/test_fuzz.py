@@ -38,7 +38,7 @@ def _random_matrix(rng):
 def _random_schedule(rng, mat):
     fam = ["span_onehot", "tile_onehot", "stripe_total", "nnz_segment",
            "dense", "span_colsplit", "bucketed", "radix_span", "brick_ell",
-           "stripe_nested"][int(rng.integers(0, 10))]
+           "stripe_nested", "dg_span", "dgt_span"][int(rng.integers(0, 12))]
     rb = int(2 ** rng.integers(4, 8))
     ct = int(2 ** rng.integers(5, 9))
     g = int(2 ** rng.integers(3, 7))
@@ -52,6 +52,23 @@ def _random_schedule(rng, mat):
         kw["ktile"] = int(2 ** rng.integers(0, 5))
         kw["precision"] = "fp32x2"
         kw["sort"] = fam == "brick_ell"
+    if fam == "dg_span":
+        # the champion family was the one never fuzzed (VERDICT r2 #7)
+        kw["rb"] = int(2 ** rng.integers(6, 9))
+        kw["ns"] = int(2 ** rng.integers(1, 4))
+        kw["g"] = 128 * int(rng.integers(1, 4))
+        kw["ktile"] = [1, 8, 16, 32][int(rng.integers(0, 4))]
+        kw["precision"] = ["fp32x2", "bf16"][int(rng.integers(0, 2))]
+        if kw["ktile"] == 1:
+            kw["rb"] = 64 * int(rng.integers(1, 5))
+            kw["precision"] = "fp32x2"
+    if fam == "dgt_span":
+        kw["rb"] = 8 * int(rng.integers(2, 65))
+        kw["g"] = 128 * int(rng.integers(1, 5))
+        kw["nw"] = int(2 ** rng.integers(0, 4))
+        kw["resid"] = bool(rng.integers(0, 2))
+        kw["ktile"] = [8, 16, 32][int(rng.integers(0, 3))]
+        kw["precision"] = ["fp32x2", "bf16"][int(rng.integers(0, 2))]
     if fam == "stripe_nested":
         kw["work_per_block"] = int(2 ** rng.integers(6, 10))
         kw["precision"] = "fp32"
@@ -102,6 +119,42 @@ def test_fuzz_trainable_grads(seed):
     close(np.asarray(dx), mat.to_dense().T @ np.asarray(w))
 
 
+@pytest.mark.parametrize("seed", range(6))
+def test_fuzz_halo_pack(seed):
+    """Halo-ring pack fuzz (VERDICT r2 #7): random device counts and row
+    counts NOT divisible by rb*D, validated against the oracle on the
+    virtual mesh."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+
+    from tpusparse.dist.overlap import (build_halo_radix_spmm,
+                                        build_halo_span_spmm,
+                                        pack_halo_radix, pack_halo_span)
+
+    rng = np.random.default_rng(9000 + seed)
+    d = int(rng.choice([2, 4, 8]))
+    if len(jax.devices()) < d:
+        pytest.skip("not enough virtual devices")
+    m = int(rng.integers(100, 700))
+    n = int(rng.integers(100, 700))
+    mat = builder.power_law_coo(m, n, avg_nnz_per_row=float(rng.uniform(2, 12)),
+                                seed=int(rng.integers(0, 1 << 30)))
+    k = int(rng.integers(1, 24))
+    x = rng.standard_normal((n, k)).astype(np.float32)
+    want = spmm_reference(mat, x.astype(np.float64))
+    mesh = Mesh(np.array(jax.devices()[:d]), ("rows",))
+    rb = int(2 ** rng.integers(5, 8))
+    if rng.integers(0, 2):
+        fmt = pack_halo_radix(mat, d, rows_per_program=rb, S=16, g=32, kt=8)
+        fn, put = build_halo_radix_spmm(fmt, mesh, kt=8)
+    else:
+        fmt = pack_halo_span(mat, d, rows_per_program=rb, ct=64, g=32)
+        fn, put = build_halo_span_spmm(fmt, mesh)
+    y = np.asarray(fn(*put(jnp.asarray(x))))[:, :k]
+    check_result(y, want, rtol=2e-3)
+
+
 @pytest.mark.parametrize("seed", range(24))
 def test_fuzz_schedule_vs_oracle(seed):
     rng = np.random.default_rng(1000 + seed)
@@ -116,5 +169,13 @@ def test_fuzz_schedule_vs_oracle(seed):
         pytest.skip(f"{sched.family} rejected: {type(e).__name__}: {e}")
     y = np.asarray(plan(x))
     want = spmm_reference(mat, x.astype(np.float64))
-    tol = 1e-4 if sched.precision == "fp32" else 5e-3
-    check_result(y, want, rtol=tol)
+    if sched.precision == "bf16":
+        # bf16 storage is judged condition-aware at the reference's
+        # half-precision tolerance class (1e-2, kernel_lib.hpp:885-921):
+        # the attainable error is eps * sum|terms|, not pure relative
+        import dataclasses as _dc
+        mat_abs = _dc.replace(mat, vals=np.abs(np.asarray(mat.vals)))
+        scale = spmm_reference(mat_abs, np.abs(x).astype(np.float64))
+        check_result(y, want, rtol=1e-2, scale=scale)
+    else:
+        check_result(y, want, rtol=1e-4 if sched.precision == "fp32" else 5e-3)

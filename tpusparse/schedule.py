@@ -43,9 +43,10 @@ from tpusparse.ops import (
     UniformBlockPadOperator,
 )
 
-KERNEL_FAMILIES = ("stripe_total", "nnz_segment", "segment_span", "tile_onehot",
-                   "span_onehot", "span_colsplit", "radix_span", "brick_ell",
-                   "dg_span", "bucketed", "dense", "block_ell", "hybrid_cols")
+KERNEL_FAMILIES = ("stripe_total", "stripe_nested", "nnz_segment",
+                   "segment_span", "tile_onehot", "span_onehot",
+                   "span_colsplit", "radix_span", "brick_ell", "dg_span",
+                   "dgt_span", "bucketed", "dense", "block_ell", "hybrid_cols")
 BLOCKINGS = ("merge_path", "balanced", "fixed_rows")
 
 
@@ -69,6 +70,8 @@ class Schedule:
     col_split: int = 0                 # span_colsplit: number of column ranges
     sublanes: int = 128                # radix_span: window sublane count S
     ns: int = 8                        # dg_span: window tiles (W = ns*128)
+    nw: int = 4                        # dgt_span: windows per 128-lane tile
+    resid: bool = True                 # dgt_span: static-residue scatter
     hot_cols: int = 0                  # hybrid_cols: dense hot-column panel width
     # implementing
     precision: str = "fp32x2"          # tile kernel precision mode
@@ -237,6 +240,20 @@ def _build_sub_plan(ms, ex, sub: int, sched: Schedule, out_rows: int, interpret)
         else:
             def fn(x, fmt=fmt):
                 return dg_spmm(fmt, x, unroll=sched.unroll, interpret=interpret)
+
+        return fmt, fn
+    if sched.family == "dgt_span":
+        from tpusparse.kernels.dgt_gather import (DGT_KTS, dgt_spmm, dgt_spmv,
+                                                  pack_dgt)
+        from tpusparse.kernels.dg_gather import PRECISIONS, choose_kt_dg
+
+        mode = sched.precision if sched.precision in PRECISIONS else "fp32x2"
+        kt = choose_kt_dg(max(sched.ktile or 8, 2))  # kt=1 stays dg_span
+        fmt = pack_dgt(ms, sub, out_rows=out_rows, rb=sched.rb, g=sched.g,
+                       kt=kt, mode=mode, resid=sched.resid, nw=sched.nw)
+
+        def fn(x, fmt=fmt):
+            return dgt_spmm(fmt, x, unroll=sched.unroll, interpret=interpret)
 
         return fmt, fn
     if sched.family == "brick_ell":

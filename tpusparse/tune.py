@@ -139,6 +139,19 @@ def default_candidates(mat: CooMatrix, k: int, *, full: bool = False) -> list[Sc
                     cands.append(Schedule(family="dg_span", rb=rb, ns=ns,
                                           g=g, unroll=8, ktile=kt_c,
                                           precision="bf16"))
+    # dgt: tile-pair windows + static-residue scatter + virtual-row splits
+    # (kernels/dgt_gather.py) — competitive with dg at K <= 32 with ~1.5x
+    # less padding; the min-time loop picks per matrix
+    if 2 <= kt_dg <= 32 and k <= 128 and \
+            mat.shape[1] * max(kt_dg, 8) * 4 <= 6 * 1024 * 1024:
+        dgt_cfgs = [(True, 256, 4), (False, 256, 8)]
+        if full:
+            dgt_cfgs += [(True, 512, 4), (True, 256, 8), (False, 512, 8),
+                         (True, 1024, 2)]
+        for resid, rb, nw in dgt_cfgs:
+            cands.append(Schedule(family="dgt_span", rb=rb, nw=nw,
+                                  resid=resid, g=512, unroll=8,
+                                  ktile=max(kt_dg, 8)))
     # radix lane-packed one-hot — champion at K <= 32 (3-dot decomposition)
     kt_r = choose_kt(k)
     if k <= 128 and mat.shape[1] * kt_r * 4 <= 6 * 1024 * 1024:
