@@ -12,8 +12,10 @@ from jax.sharding import Mesh
 from tpusparse.io import builder
 
 
-@pytest.mark.parametrize("kind", ["stripe", "span"])
+@pytest.mark.parametrize("kind", ["stripe", "span", "radix", "dg"])
 def test_ring_halo_loop_contains_permute_and_compute(kind):
+    """All four ring variants, including the champion radix/dg kernels
+    (VERDICT r2 #2: the deployed rings need the overlap assertion too)."""
     if len(jax.devices()) < 4:
         pytest.skip("needs 4 virtual devices")
     mat = builder.power_law_coo(512, 512, avg_nnz_per_row=6.0, seed=3)
@@ -24,6 +26,17 @@ def test_ring_halo_loop_contains_permute_and_compute(kind):
 
         fmt = pack_halo_stripe(mat, 4, rows_per_stripe=32)
         fn, put_inputs = build_halo_spmm(fmt, mesh)
+    elif kind == "radix":
+        from tpusparse.dist.overlap import (build_halo_radix_spmm,
+                                            pack_halo_radix)
+
+        fmt = pack_halo_radix(mat, 4, rows_per_program=64, S=16, g=32, kt=8)
+        fn, put_inputs = build_halo_radix_spmm(fmt, mesh, kt=8)
+    elif kind == "dg":
+        from tpusparse.dist.overlap import build_halo_dg_spmm, pack_halo_dg
+
+        fmt = pack_halo_dg(mat, 4, rows_per_program=64, ns=2, g=128, kt=8)
+        fn, put_inputs = build_halo_dg_spmm(fmt, mesh, kt=8)
     else:
         from tpusparse.dist.overlap import (build_halo_span_spmm,
                                             pack_halo_span)

@@ -140,6 +140,92 @@ def pack_halo_stripe(
     )
 
 
+def _build_ring(
+    mesh: Mesh,
+    *,
+    n_devices: int,
+    arrays: tuple,
+    slot_of_origrow,
+    out_slots: int,
+    n_chunk_rows: int,
+    tail_pad: int,
+    k_multiple,
+    step_call,
+    allow_k_shard: bool = True,
+):
+    """The shared ppermute ring harness (VERDICT r2 #9: one ring, N kernels).
+
+    ``arrays`` are the per-(device, ring-chunk) format planes, each shaped
+    [D, C, ...].  At ring step s, device d computes on the X chunk it
+    currently holds against its sub-format for chunk (d - s) mod D while the
+    next chunk is already in flight: ``step_call(subs, x_cur)`` runs the
+    per-chip kernel and returns the (out_slots, K') partial.  ``k_multiple``
+    maps the local K width to the kernel's K padding multiple;
+    ``tail_pad`` zero-rows are appended to every X chunk so column windows
+    never read past the shard."""
+    d = n_devices
+    assert mesh.shape["rows"] == d, (mesh.shape, d)
+    k_sharded = allow_k_shard and "k" in mesh.shape and mesh.shape["k"] > 1
+    kspec = "k" if k_sharded else None
+    n_arr = len(arrays)
+    perm = [(i, (i + 1) % d) for i in range(d)]
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=tuple([P("rows")] * n_arr) + (P("rows", kspec),),
+        out_specs=P("rows", kspec),
+        check_vma=False,
+    )
+    def ring_kernel(*args):
+        # local leading dim 1 after sharding: [1, C, ...]
+        planes = [a[0] for a in args[:-1]]
+        x_chunk = args[-1]
+        me = jax.lax.axis_index("rows")
+        k_in = x_chunk.shape[1]
+        km = k_multiple(k_in)
+        if k_in % km:
+            x_chunk = jnp.pad(x_chunk, ((0, 0), (0, km - k_in % km)))
+
+        def step(s, carry):
+            x_cur, y = carry
+            # next chunk already in flight while we compute on x_cur
+            x_next = jax.lax.ppermute(x_cur, "rows", perm)
+            chunk = jax.lax.rem(me - s + d, d)
+            subs = [jax.lax.dynamic_index_in_dim(a, chunk, 0, keepdims=False)
+                    for a in planes]
+            return x_next, y + step_call(subs, x_cur)
+
+        y0 = jnp.zeros((out_slots, x_chunk.shape[1]), jnp.float32)
+        _, y = jax.lax.fori_loop(0, d, step, (x_chunk, y0))
+        return y[:, :k_in]
+
+    @jax.jit
+    def fn(*args):
+        *planes, slot, x = args
+        y_slots = ring_kernel(*planes, x)
+        oob = y_slots.shape[0]
+        slot = jnp.where(slot < 0, oob, slot)
+        return jnp.take(y_slots, slot, axis=0, mode="fill", fill_value=0)
+
+    def put_inputs(x):
+        n_pad = d * n_chunk_rows
+        x = jnp.asarray(x, jnp.float32)
+        if x.shape[0] < n_pad:
+            x = jnp.pad(x, ((0, n_pad - x.shape[0]), (0, 0)))
+        if tail_pad:
+            xc = x.reshape(d, n_chunk_rows, -1)
+            xc = jnp.pad(xc, ((0, 0), (0, tail_pad), (0, 0)))
+            x = xc.reshape(d * (n_chunk_rows + tail_pad), -1)
+        out = [jax.device_put(a, NamedSharding(
+            mesh, P(*(["rows"] + [None] * (a.ndim - 1))))) for a in arrays]
+        out.append(jax.device_put(slot_of_origrow, NamedSharding(mesh, P())))
+        out.append(jax.device_put(x, NamedSharding(mesh, P("rows", kspec))))
+        return tuple(out)
+
+    return fn, put_inputs
+
+
 def build_halo_spmm(
     fmt: HaloStripeFormat,
     mesh: Mesh,
@@ -154,71 +240,33 @@ def build_halo_spmm(
 
     if interpret is None:
         interpret = kernel_backend_interpret()
-    d = fmt.n_devices
-    assert mesh.shape["rows"] == d, (mesh.shape, d)
     p_loc = fmt.stripes_per_device
-    rb = fmt.rb
     cnz = fmt.stripe_nnz
-    perm = [(i, (i + 1) % d) for i in range(d)]
+    u = unroll if cnz % unroll == 0 else 1
 
-    @functools.partial(
-        jax.shard_map,
-        mesh=mesh,
-        in_specs=(P("rows"), P("rows"), P("rows"), P("rows", None)),
-        out_specs=P("rows", None),
-        check_vma=False,
-    )
-    def ring_kernel(cols, lrow, vals, x_chunk):
-        # local leading dim 1 after sharding: [1, C, P, 1, Cnz]
-        cols, lrow, vals = cols[0], lrow[0], vals[0]
-        me = jax.lax.axis_index("rows")
-        kt = x_chunk.shape[1] if x_chunk.shape[1] <= 128 else 128
-        if ktile is not None:
-            kt = ktile
-        u = unroll if cnz % unroll == 0 else 1
+    def k_multiple(k_in):
+        return ktile if ktile is not None else (k_in if k_in <= 128 else 128)
 
-        def step(s, carry):
-            x_cur, y = carry
-            # next chunk already in flight while we compute on x_cur
-            x_next = jax.lax.ppermute(x_cur, "rows", perm)
-            chunk = jax.lax.rem(me - s + d, d)
-            sub_c = jax.lax.dynamic_index_in_dim(cols, chunk, 0, keepdims=False)
-            sub_r = jax.lax.dynamic_index_in_dim(lrow, chunk, 0, keepdims=False)
-            sub_v = jax.lax.dynamic_index_in_dim(vals, chunk, 0, keepdims=False)
-            part = _stripe_call(
-                sub_c, sub_r, sub_v, x_cur,
-                n_stripes=p_loc, stripe_nnz=cnz, rb=rb,
-                ktile=kt, unroll=u, interpret=interpret,
-            )
-            return x_next, y + part
-
-        k_pad = x_chunk.shape[1]
-        y0 = jnp.zeros((p_loc * rb, ((k_pad + kt - 1) // kt) * kt), jnp.float32)
-        _, y = jax.lax.fori_loop(0, d, step, (x_chunk, y0))
-        return y[:, :k_pad]
-
-    @jax.jit
-    def fn(cols, lrow, vals, slot, x):
-        y_slots = ring_kernel(cols, lrow, vals, x)
-        oob = y_slots.shape[0]
-        slot = jnp.where(slot < 0, oob, slot)
-        return jnp.take(y_slots, slot, axis=0, mode="fill", fill_value=0)
-
-    def put_inputs(x):
-        n_pad = d * fmt.n_chunk_rows
-        x = jnp.asarray(x, jnp.float32)
-        if x.shape[0] < n_pad:
-            x = jnp.pad(x, ((0, n_pad - x.shape[0]), (0, 0)))
-        row5 = NamedSharding(mesh, P("rows", None, None, None, None))
-        return (
-            jax.device_put(fmt.cols, row5),
-            jax.device_put(fmt.lrow, row5),
-            jax.device_put(fmt.vals, row5),
-            jax.device_put(fmt.slot_of_origrow, NamedSharding(mesh, P())),
-            jax.device_put(x, NamedSharding(mesh, P("rows", None))),
+    def step_call(subs, x_cur):
+        kt = k_multiple(x_cur.shape[1])
+        return _stripe_call(
+            subs[0], subs[1], subs[2], x_cur,
+            n_stripes=p_loc, stripe_nnz=cnz, rb=fmt.rb,
+            ktile=kt, unroll=u, interpret=interpret,
         )
 
-    return fn, put_inputs
+    return _build_ring(
+        mesh,
+        n_devices=fmt.n_devices,
+        arrays=(fmt.cols, fmt.lrow, fmt.vals),
+        slot_of_origrow=fmt.slot_of_origrow,
+        out_slots=p_loc * fmt.rb,
+        n_chunk_rows=fmt.n_chunk_rows,
+        tail_pad=0,
+        k_multiple=k_multiple,
+        step_call=step_call,
+        allow_k_shard=False,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -285,33 +333,43 @@ def pack_halo_span(
     cols = np.asarray(mat.cols)
     vals = np.asarray(mat.vals, dtype=np.float32)
 
-    # balanced-nnz contiguous row partition over devices
-    row_ptr = mat.to_csr_ptr()
-    targets = (np.arange(1, d) * mat.nnz) // d
-    cut_rows = np.searchsorted(row_ptr, targets, side="left")
-    bounds = np.maximum.accumulate(
-        np.concatenate([[0], cut_rows, [m]]).astype(np.int64))
-
     n_chunk_rows = _round_up(-(-max(n, 1) // d), max(align, 8))
     span_budget = ct - align
 
-    # within each device: deal rows round-robin by length (shared across chunks)
+    # Deal rows GLOBALLY to the d*P (device, program) bins, balancing the
+    # PER-RING-CHUNK nnz vector, not just the row total (VERDICT r2 #2: the
+    # global max over (device, chunk, program) buckets sets NC for every
+    # bucket, so one program hot in one chunk forfeits scaling at pack
+    # time).  Output rows are recovered by a slot gather regardless, so no
+    # contiguity constraint applies.  Greedy: rows by total length
+    # descending, each to the capacity-free bin whose worst chunk stays
+    # smallest — the balanced-interval idea (operator.hpp:777-906) applied
+    # per ring step.
     lengths = np.bincount(rows, minlength=m)
-    dev_of_row = np.searchsorted(bounds, np.arange(m), side="right") - 1
-    p_of_row = np.zeros(m, dtype=np.int64)
+    chunk_of_nz_pre = cols // n_chunk_rows
+    p_loc = max(-(-m // (d * rb)), 1)
+    nbins = d * p_loc
+    bin_of_row = np.zeros(m, dtype=np.int64)
     lrow_of_row = np.zeros(m, dtype=np.int64)
-    p_max = 1
-    for dd in range(d):
-        sel = np.arange(bounds[dd], bounds[dd + 1])
-        if sel.size == 0:
-            continue
-        p_cnt = max(-(-sel.size // rb), 1)
-        p_max = max(p_max, p_cnt)
-        by_len = sel[np.argsort(-lengths[sel], kind="stable")]
-        ranks = np.arange(sel.size)
-        p_of_row[by_len] = ranks % p_cnt
-        lrow_of_row[by_len] = ranks // p_cnt
-    p_loc = p_max
+    if m and nbins > 1:
+        rc = np.zeros((m, d), dtype=np.int64)
+        np.add.at(rc, (rows, chunk_of_nz_pre), 1)
+        by_len = np.argsort(-lengths, kind="stable")
+        loads = np.zeros((nbins, d), dtype=np.int64)
+        used = np.zeros(nbins, dtype=np.int64)
+        big = np.iinfo(np.int64).max
+        for r in by_len:
+            v = rc[r]
+            worst = np.where(used < rb, (loads + v).max(axis=1), big)
+            b = int(np.argmin(worst))
+            loads[b] += v
+            bin_of_row[r] = b
+            lrow_of_row[r] = used[b]
+            used[b] += 1
+    else:
+        lrow_of_row[:] = np.arange(m)
+    dev_of_row = bin_of_row // p_loc
+    p_of_row = bin_of_row % p_loc
 
     dev_nz = dev_of_row[rows]
     chunk_nz = cols // n_chunk_rows
@@ -388,85 +446,36 @@ def build_halo_span_spmm(
 
     if interpret is None:
         interpret = kernel_backend_interpret()
-    d = fmt.n_devices
-    assert mesh.shape["rows"] == d, (mesh.shape, d)
-    k_sharded = "k" in mesh.shape and mesh.shape["k"] > 1
-    kspec = "k" if k_sharded else None
     p_loc = fmt.programs_per_device
-    rb = fmt.rb
     nc = fmt.n_chunks_span
     g = fmt.chunk_g
     ct = fmt.ct
-    perm = [(i, (i + 1) % d) for i in range(d)]
 
-    @functools.partial(
-        jax.shard_map,
-        mesh=mesh,
-        in_specs=(P("rows"), P("rows"), P("rows"), P("rows"), P("rows", kspec)),
-        out_specs=P("rows", kspec),
-        check_vma=False,
-    )
-    def ring_kernel(c0, cols, lrow, vals, x_chunk):
-        c0, cols, lrow, vals = c0[0], cols[0], lrow[0], vals[0]
-        me = jax.lax.axis_index("rows")
-        k_in = x_chunk.shape[1]
-        kt = k_in if k_in <= 128 else 128
+    def k_multiple(k_in):
         if ktile is not None:
-            kt = ktile
-        # _span_call reshapes X as (n, kt_count, kt): pad the local K (which
-        # per-shard need not divide kt, e.g. K=200 over 2 k-shards) up front
-        if k_in % kt:
-            x_chunk = jnp.pad(x_chunk, ((0, 0), (0, kt - k_in % kt)))
+            return ktile
+        return k_in if k_in <= 128 else 128
 
-        def step(s, carry):
-            x_cur, y = carry
-            x_next = jax.lax.ppermute(x_cur, "rows", perm)
-            chunk = jax.lax.rem(me - s + d, d)
-            sub = [jax.lax.dynamic_index_in_dim(a, chunk, 0, keepdims=False)
-                   for a in (c0, cols, lrow, vals)]
-            # window may read past the chunk: X is padded by CT below
-            part = _span_call(
-                sub[0], sub[1], sub[2], sub[3], x_cur,
-                n_programs=p_loc, nc=nc, g=g, rb=rb, ct=ct,
-                ktile=kt, mode=precision, unroll=unroll, interpret=interpret,
-            )
-            return x_next, y + part
-
-        y0 = jnp.zeros((p_loc * rb, x_chunk.shape[1]), jnp.float32)
-        _, y = jax.lax.fori_loop(0, d, step, (x_chunk, y0))
-        return y[:, :k_in]
-
-    @jax.jit
-    def fn(c0, cols, lrow, vals, slot, x):
-        y_slots = ring_kernel(c0, cols, lrow, vals, x)
-        oob = y_slots.shape[0]
-        slot = jnp.where(slot < 0, oob, slot)
-        return jnp.take(y_slots, slot, axis=0, mode="fill", fill_value=0)
-
-    def put_inputs(x):
-        n_pad = d * fmt.n_chunk_rows
-        x = jnp.asarray(x, jnp.float32)
-        if x.shape[0] < n_pad:
-            x = jnp.pad(x, ((0, n_pad - x.shape[0]), (0, 0)))
-        # per-device X chunk padded by CT rows so span windows never read OOB:
-        # reshape to [D, chunk+ct, K] is not ring-shardable, so instead pad
-        # every chunk by replicating zeros — achieved by storing chunks
-        # disjointly with a CT-zero tail: [D * (chunk_rows + ct_pad), K]
-        ct_pad = ((ct + 7) // 8) * 8
-        xc = x.reshape(d, fmt.n_chunk_rows, -1)
-        xc = jnp.pad(xc, ((0, 0), (0, ct_pad), (0, 0)))
-        xflat = xc.reshape(d * (fmt.n_chunk_rows + ct_pad), -1)
-        row5 = NamedSharding(mesh, P("rows", None, None, None, None))
-        return (
-            jax.device_put(fmt.c0, row5),
-            jax.device_put(fmt.cols, row5),
-            jax.device_put(fmt.lrow, row5),
-            jax.device_put(fmt.vals, row5),
-            jax.device_put(fmt.slot_of_origrow, NamedSharding(mesh, P())),
-            jax.device_put(xflat, NamedSharding(mesh, P("rows", kspec))),
+    def step_call(subs, x_cur):
+        # window may read past the chunk: X is tail-padded by CT rows
+        kt = k_multiple(x_cur.shape[1])
+        return _span_call(
+            subs[0], subs[1], subs[2], subs[3], x_cur,
+            n_programs=p_loc, nc=nc, g=g, rb=fmt.rb, ct=ct,
+            ktile=kt, mode=precision, unroll=unroll, interpret=interpret,
         )
 
-    return fn, put_inputs
+    return _build_ring(
+        mesh,
+        n_devices=fmt.n_devices,
+        arrays=(fmt.c0, fmt.cols, fmt.lrow, fmt.vals),
+        slot_of_origrow=fmt.slot_of_origrow,
+        out_slots=p_loc * fmt.rb,
+        n_chunk_rows=fmt.n_chunk_rows,
+        tail_pad=((ct + 7) // 8) * 8,
+        k_multiple=k_multiple,
+        step_call=step_call,
+    )
 
 
 def pack_halo_radix(
@@ -508,78 +517,32 @@ def build_halo_radix_spmm(
     if interpret is None:
         interpret = kernel_backend_interpret()
     spr, _, ngrp = radix_geometry(kt, mode)
-    d = fmt.n_devices
-    assert mesh.shape["rows"] == d, (mesh.shape, d)
-    k_sharded = "k" in mesh.shape and mesh.shape["k"] > 1
-    kspec = "k" if k_sharded else None
     p_loc = fmt.programs_per_device
-    rb = fmt.rb
     nc = fmt.n_chunks_span
     g = fmt.chunk_g
     W = fmt.ct
     S = W // spr
-    perm = [(i, (i + 1) % d) for i in range(d)]
 
-    @functools.partial(
-        jax.shard_map,
-        mesh=mesh,
-        in_specs=(P("rows"), P("rows"), P("rows"), P("rows"), P("rows", kspec)),
-        out_specs=P("rows", kspec),
-        check_vma=False,
-    )
-    def ring_kernel(c0, cols, lrow, vals, x_chunk):
-        c0, cols, lrow, vals = c0[0], cols[0], lrow[0], vals[0]
-        me = jax.lax.axis_index("rows")
-        k_in = x_chunk.shape[1]
-        if k_in % kt:
-            x_chunk = jnp.pad(x_chunk, ((0, 0), (0, kt - k_in % kt)))
-
-        def step(s, carry):
-            x_cur, y = carry
-            x_next = jax.lax.ppermute(x_cur, "rows", perm)
-            chunk = jax.lax.rem(me - s + d, d)
-            sub = [jax.lax.dynamic_index_in_dim(a, chunk, 0, keepdims=False)
-                   for a in (c0, cols, lrow, vals)]
-            part = _radix_call(
-                sub[0], sub[1], sub[2], sub[3], x_cur,
-                n_programs=p_loc, nc=nc, g=g, rb=rb, S=S, kt=kt, mode=mode,
-                unroll=unroll, ktin=1, interpret=interpret,
-            )
-            return x_next, y + part
-
-        y0 = jnp.zeros((p_loc * rb, x_chunk.shape[1]), jnp.float32)
-        _, y = jax.lax.fori_loop(0, d, step, (x_chunk, y0))
-        return y[:, :k_in]
-
-    @jax.jit
-    def fn(c0, cols, lrow, vals, slot, x):
-        y_slots = ring_kernel(c0, cols, lrow, vals, x)
-        oob = y_slots.shape[0]
-        slot = jnp.where(slot < 0, oob, slot)
-        return jnp.take(y_slots, slot, axis=0, mode="fill", fill_value=0)
-
-    def put_inputs(x):
-        n_pad = d * fmt.n_chunk_rows
-        x = jnp.asarray(x, jnp.float32)
-        if x.shape[0] < n_pad:
-            x = jnp.pad(x, ((0, n_pad - x.shape[0]), (0, 0)))
-        # chunk tail pad >= W so windows never read past the shard, and the
-        # per-shard row count stays a multiple of the 8*spr packing group
-        w_pad = _round_up(W + 8 * spr, 8 * spr)
-        xc = x.reshape(d, fmt.n_chunk_rows, -1)
-        xc = jnp.pad(xc, ((0, 0), (0, w_pad), (0, 0)))
-        xflat = xc.reshape(d * (fmt.n_chunk_rows + w_pad), -1)
-        row5 = NamedSharding(mesh, P("rows", None, None, None, None))
-        return (
-            jax.device_put(fmt.c0, row5),
-            jax.device_put(fmt.cols, row5),
-            jax.device_put(fmt.lrow, row5),
-            jax.device_put(fmt.vals, row5),
-            jax.device_put(fmt.slot_of_origrow, NamedSharding(mesh, P())),
-            jax.device_put(xflat, NamedSharding(mesh, P("rows", kspec))),
+    def step_call(subs, x_cur):
+        return _radix_call(
+            subs[0], subs[1], subs[2], subs[3], x_cur,
+            n_programs=p_loc, nc=nc, g=g, rb=fmt.rb, S=S, kt=kt, mode=mode,
+            unroll=unroll, ktin=1, interpret=interpret,
         )
 
-    return fn, put_inputs
+    return _build_ring(
+        mesh,
+        n_devices=fmt.n_devices,
+        arrays=(fmt.c0, fmt.cols, fmt.lrow, fmt.vals),
+        slot_of_origrow=fmt.slot_of_origrow,
+        out_slots=p_loc * fmt.rb,
+        n_chunk_rows=fmt.n_chunk_rows,
+        # chunk tail pad >= W so windows never read past the shard, and the
+        # per-shard row count stays a multiple of the 8*spr packing group
+        tail_pad=_round_up(W + 8 * spr, 8 * spr),
+        k_multiple=lambda k_in: kt,
+        step_call=step_call,
+    )
 
 
 def pack_halo_dg(
@@ -622,73 +585,27 @@ def build_halo_dg_spmm(
 
     if interpret is None:
         interpret = kernel_backend_interpret()
-    d = fmt.n_devices
-    assert mesh.shape["rows"] == d, (mesh.shape, d)
-    k_sharded = "k" in mesh.shape and mesh.shape["k"] > 1
-    kspec = "k" if k_sharded else None
     p_loc = fmt.programs_per_device
-    rb = fmt.rb
     nc = fmt.n_chunks_span
     g = fmt.chunk_g
     ns = fmt.ct // 128
-    perm = [(i, (i + 1) % d) for i in range(d)]
 
-    @functools.partial(
-        jax.shard_map,
-        mesh=mesh,
-        in_specs=(P("rows"), P("rows"), P("rows"), P("rows"), P("rows", kspec)),
-        out_specs=P("rows", kspec),
-        check_vma=False,
-    )
-    def ring_kernel(c0, cols, lrow, vals, x_chunk):
-        c0, cols, lrow, vals = c0[0], cols[0], lrow[0], vals[0]
-        me = jax.lax.axis_index("rows")
-        k_in = x_chunk.shape[1]
-        if k_in % kt:
-            x_chunk = jnp.pad(x_chunk, ((0, 0), (0, kt - k_in % kt)))
-
-        def step(s, carry):
-            x_cur, y = carry
-            x_next = jax.lax.ppermute(x_cur, "rows", perm)
-            chunk = jax.lax.rem(me - s + d, d)
-            sub = [jax.lax.dynamic_index_in_dim(a, chunk, 0, keepdims=False)
-                   for a in (c0, cols, lrow, vals)]
-            part = _dg_call(
-                sub[0], sub[1], sub[2], sub[3], x_cur,
-                P=p_loc, nc=nc, g=g, rb=rb, ns=ns, kt=kt, mode=mode,
-                unroll=unroll, interpret=interpret,
-            )
-            return x_next, y + part
-
-        y0 = jnp.zeros((p_loc * rb, x_chunk.shape[1]), jnp.float32)
-        _, y = jax.lax.fori_loop(0, d, step, (x_chunk, y0))
-        return y[:, :k_in]
-
-    @jax.jit
-    def fn(c0, cols, lrow, vals, slot, x):
-        y_slots = ring_kernel(c0, cols, lrow, vals, x)
-        oob = y_slots.shape[0]
-        slot = jnp.where(slot < 0, oob, slot)
-        return jnp.take(y_slots, slot, axis=0, mode="fill", fill_value=0)
-
-    def put_inputs(x):
-        n_pad = d * fmt.n_chunk_rows
-        x = jnp.asarray(x, jnp.float32)
-        if x.shape[0] < n_pad:
-            x = jnp.pad(x, ((0, n_pad - x.shape[0]), (0, 0)))
-        # chunk tail pad >= the window so tiles never read past the shard
-        w_pad = ((fmt.ct + 127) // 128) * 128 + 128
-        xc = x.reshape(d, fmt.n_chunk_rows, -1)
-        xc = jnp.pad(xc, ((0, 0), (0, w_pad), (0, 0)))
-        xflat = xc.reshape(d * (fmt.n_chunk_rows + w_pad), -1)
-        row5 = NamedSharding(mesh, P("rows", None, None, None, None))
-        return (
-            jax.device_put(fmt.c0, row5),
-            jax.device_put(fmt.cols, row5),
-            jax.device_put(fmt.lrow, row5),
-            jax.device_put(fmt.vals, row5),
-            jax.device_put(fmt.slot_of_origrow, NamedSharding(mesh, P())),
-            jax.device_put(xflat, NamedSharding(mesh, P("rows", kspec))),
+    def step_call(subs, x_cur):
+        return _dg_call(
+            subs[0], subs[1], subs[2], subs[3], x_cur,
+            P=p_loc, nc=nc, g=g, rb=fmt.rb, ns=ns, kt=kt, mode=mode,
+            unroll=unroll, interpret=interpret,
         )
 
-    return fn, put_inputs
+    return _build_ring(
+        mesh,
+        n_devices=fmt.n_devices,
+        arrays=(fmt.c0, fmt.cols, fmt.lrow, fmt.vals),
+        slot_of_origrow=fmt.slot_of_origrow,
+        out_slots=p_loc * fmt.rb,
+        n_chunk_rows=fmt.n_chunk_rows,
+        # chunk tail pad >= the window so tiles never read past the shard
+        tail_pad=((fmt.ct + 127) // 128) * 128 + 128,
+        k_multiple=lambda k_in: kt,
+        step_call=step_call,
+    )
