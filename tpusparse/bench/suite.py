@@ -6,11 +6,11 @@ K=512, N:M (2:4) structured, and block-sparse — through the autotuner and
 prints one JSON line per (workload, K) with the winning schedule, GFLOP/s,
 and the baseline ratio.  Writes results to BENCH_SUITE.jsonl.
 
-Run: python -m tpusparse.bench.suite [--quick] [--only SUBSTR]
+Run: python -m tpusparse.bench.suite [--quick] [--only TAG]
 
-``--only SUBSTR`` runs just the sections whose tag contains SUBSTR
-(tags: suite, layout, nested, pruned, trainable, nm, block, quant,
-spmv, graph, spgemm) — cheap targeted refreshes on the real chip.
+``--only TAG`` runs just the section with that exact tag (see TAGS below)
+— cheap targeted refreshes on the real chip.  Unknown tags exit with the
+valid list instead of silently matching by substring.
 """
 
 from __future__ import annotations
@@ -24,8 +24,15 @@ class _Deselected(Exception):
     """Raised inside a try-wrapped section the --only filter skips."""
 
 
+TAGS = ("suite", "layout", "nested", "pruned", "trainable", "nm", "block",
+        "quant", "spmv", "graph", "spgemm", "real")
+
+
 def run_suite(quick: bool = False, out_path: str = "BENCH_SUITE.jsonl",
               only: str | None = None):
+    if only is not None and only not in TAGS:
+        raise SystemExit(
+            f"--only {only!r} is not a section tag; valid tags: {', '.join(TAGS)}")
 
     import jax.numpy as jnp
     import numpy as np
@@ -50,7 +57,7 @@ def run_suite(quick: bool = False, out_path: str = "BENCH_SUITE.jsonl",
         print(json.dumps(row), flush=True)
 
     def sel(tag):
-        return only is None or only in tag
+        return only is None or only == tag
 
     def pct_roofline(fmt_bytes, m, n, k, sec):
         """Achieved traffic (format read + X read + Y write, each once) as
@@ -69,12 +76,24 @@ def run_suite(quick: bool = False, out_path: str = "BENCH_SUITE.jsonl",
         return b
 
     # ---- config #2: SuiteSparse-class sweep, fp32, K in {8, 32, 128}
-    workloads = {
-        "powerlaw": builder.power_law_coo(size, size, avg_nnz_per_row=16.0, seed=1),
-        "uniform": builder.uniform_coo(size, size, nnz_per_row=12, seed=2),
-        "banded": builder.banded_coo(size, size, bandwidth=48, seed=3),
-    }
-    for name, mat in (workloads.items() if sel("suite") else []):
+    # (built lazily so --only refreshes don't pay deselected matrix builds)
+    _wl: dict = {}
+
+    def workload(name):
+        if name not in _wl:
+            _wl[name] = {
+                "powerlaw": lambda: builder.power_law_coo(
+                    size, size, avg_nnz_per_row=16.0, seed=1),
+                "uniform": lambda: builder.uniform_coo(
+                    size, size, nnz_per_row=12, seed=2),
+                "banded": lambda: builder.banded_coo(
+                    size, size, bandwidth=48, seed=3),
+            }[name]()
+        return _wl[name]
+
+    WL_NAMES = ("powerlaw", "uniform", "banded")
+    for name in (WL_NAMES if sel("suite") else []):
+        mat = workload(name)
         for k in ([8] if quick else [8, 32, 128]):
             x = np.random.default_rng(0).standard_normal((mat.shape[1], k)).astype(np.float32)
             try:
@@ -98,7 +117,8 @@ def run_suite(quick: bool = False, out_path: str = "BENCH_SUITE.jsonl",
     # brick-ELL layout vs column-sorted span chunking, SAME radix kernel
     from tpusparse.schedule import Schedule, build_plan
 
-    for name, mat in (workloads.items() if sel("layout") else []):
+    for name in (WL_NAMES if sel("layout") else []):
+        mat = workload(name)
         for k in ([8] if quick else [8, 32]):
             x = np.random.default_rng(0).standard_normal((mat.shape[1], k)).astype(np.float32)
             for fam, S in (("radix_span", 128), ("brick_ell", 256)):
@@ -120,8 +140,10 @@ def run_suite(quick: bool = False, out_path: str = "BENCH_SUITE.jsonl",
 
     # ---- nested two-level vs flat stripe (VERDICT r1 #3: the nested
     # schedule measured on at least one workload)
-    mat_n = workloads["uniform"]
-    xn = np.random.default_rng(7).standard_normal((mat_n.shape[1], 8)).astype(np.float32)
+    if sel("nested"):
+        mat_n = workload("uniform")
+        xn = np.random.default_rng(7).standard_normal(
+            (mat_n.shape[1], 8)).astype(np.float32)
     for fam in (("stripe_total", "stripe_nested") if sel("nested") else ()):
         try:
             plan = build_plan(mat_n, Schedule(family=fam, work_per_block=4096,
@@ -271,7 +293,7 @@ def run_suite(quick: bool = False, out_path: str = "BENCH_SUITE.jsonl",
                       "error": f"{type(e).__name__}: {e}"})
         # XLA take+segment_sum comparison at small scale only (the scalar
         # gather needs minutes for 10M nnz on TPU)
-        mvs = workloads["powerlaw"]
+        mvs = workload("powerlaw")
         xs = np.random.default_rng(5).standard_normal(mvs.shape[1]).astype(np.float32)
         vfn = spmv_fn(mvs, method="segment")
         np.asarray(vfn(jnp.asarray(xs)))
@@ -284,10 +306,10 @@ def run_suite(quick: bool = False, out_path: str = "BENCH_SUITE.jsonl",
     # ---- graph algorithms through the packed matvec plan (VERDICT r1 #6)
     from tpusparse import graph
 
-    gm = builder.power_law_coo(size, size, avg_nnz_per_row=16.0, seed=11)
     try:
         if not sel("graph"):
             raise _Deselected
+        gm = builder.power_law_coo(size, size, avg_nnz_per_row=16.0, seed=11)
         fn = graph.matvec_plan(gm, semiring="plus_times")
         xg = jnp.asarray(np.random.default_rng(8).standard_normal(size), jnp.float32)
         np.asarray(fn(xg))
@@ -355,16 +377,91 @@ def run_suite(quick: bool = False, out_path: str = "BENCH_SUITE.jsonl",
         # FLOP count for SpGEMM = 2 * sum over A nz of nnz(B row)
         brow = np.bincount(sb.rows, minlength=4096)
         flops = 2.0 * brow[sa.cols].sum()
+        # host scipy baseline for the same product (VERDICT r2 #6: say so
+        # when the user's laptop wins; spgemm_fn routes sub-crossover
+        # problems to host)
+        import scipy.sparse as _sp
+
+        sa_s = _sp.coo_matrix((sa.vals, (sa.rows, sa.cols)), shape=sa.shape).tocsr()
+        sb_s = _sp.coo_matrix((sb.vals, (sb.rows, sb.cols)), shape=sb.shape).tocsr()
+        t0 = _t.time()
+        for _ in range(5):
+            _c = sa_s @ sb_s
+        sp_sec = (_t.time() - t0) / 5
         emit({
             "bench": "spgemm_powerlaw_4k", "nnz_a": sa.nnz, "nnz_b": sb.nnz,
             "nnz_c": c1.nnz, "seconds": round(sg_sec, 3),
             "seconds_cold": round(sg_cold, 3),
+            "seconds_scipy": round(sp_sec, 4),
             "gflops": round(flops / sg_sec / 1e9, 3),
+            "gflops_scipy": round(flops / sp_sec / 1e9, 3),
         })
     except _Deselected:
         pass
     except Exception as e:
         emit({"bench": "spgemm_powerlaw_4k", "error": f"{type(e).__name__}: {e}"})
+
+    # ---- real-data workloads (VERDICT r2 #3): matrices from genuine
+    # on-disk data (no network egress in this environment — DNS fails;
+    # examples/fetch_suitesparse.py is the canonical-download path), plus
+    # any real SuiteSparse .mtx files in $TPUSPARSE_REAL_MTX_DIR
+    if sel("real"):
+        import os
+
+        from tpusparse.io import read_mtx, realdata
+
+        real_mats = []
+        mdir = os.environ.get("TPUSPARSE_REAL_MTX_DIR")
+        if mdir and os.path.isdir(mdir):
+            for root, _, files in os.walk(mdir):
+                for f in sorted(files):
+                    if f.endswith(".mtx"):
+                        p = os.path.join(root, f)
+                        real_mats.append((f[:-4], lambda p=p: read_mtx(p)))
+        real_mats += [
+            ("real/cooc_pysrc", lambda: realdata.cooccurrence_coo(
+                vocab_size=8192 if quick else 32768,
+                max_files=300 if quick else 2500)),
+            ("real/docterm_pysrc", lambda: realdata.docterm_coo(
+                vocab_size=8192 if quick else 32768,
+                max_files=1000 if quick else 8000)),
+        ]
+        for name, make in real_mats:
+            try:
+                mat = make()
+                for k in ([8] if quick else [8, 32]):
+                    x = np.random.default_rng(0).standard_normal(
+                        (mat.shape[1], k)).astype(np.float32)
+                    res = tune(mat, x, iters=5, validate=True, budget=10)
+                    emit({
+                        "bench": f"{name}", "k": k,
+                        "shape": list(mat.shape), "nnz": mat.nnz,
+                        "gflops": round(gflops(mat.nnz, k, res.best_seconds), 3),
+                        "schedule": res.best_schedule.family,
+                        "pct_roofline": pct_roofline(
+                            plan_bytes(res.best), mat.shape[0], mat.shape[1],
+                            k, res.best_seconds),
+                    })
+            except Exception as e:
+                emit({"bench": f"{name}", "error": f"{type(e).__name__}: {e}"})
+        # trained-then-magnitude-pruned transformer FFN weight (the FlashLLM
+        # recipe executed for real, not a random mask)
+        try:
+            w, meta = realdata.trained_pruned_weight(
+                steps=60 if quick else 300)
+            k = 512
+            x = np.random.default_rng(2).standard_normal(
+                (w.shape[1], k)).astype(np.float32)
+            res = tune(w, x, iters=5, validate=True, budget=10)
+            emit({
+                "bench": "real/trained_pruned_ffn", "k": k,
+                "shape": list(w.shape), "nnz": w.nnz, "train_meta": meta,
+                "gflops": round(gflops(w.nnz, k, res.best_seconds), 3),
+                "schedule": res.best_schedule.family,
+            })
+        except Exception as e:
+            emit({"bench": "real/trained_pruned_ffn",
+                  "error": f"{type(e).__name__}: {e}"})
 
     with open(out_path, "a") as f:
         for r in rows:
@@ -375,5 +472,10 @@ def run_suite(quick: bool = False, out_path: str = "BENCH_SUITE.jsonl",
 if __name__ == "__main__":
     _only = None
     if "--only" in sys.argv:
-        _only = sys.argv[sys.argv.index("--only") + 1]
+        i = sys.argv.index("--only")
+        if i + 1 >= len(sys.argv):
+            raise SystemExit(
+                f"usage: python -m tpusparse.bench.suite [--quick] "
+                f"[--only TAG]; valid tags: {', '.join(TAGS)}")
+        _only = sys.argv[i + 1]
     run_suite(quick="--quick" in sys.argv, only=_only)
