@@ -116,13 +116,40 @@ def _synthetic_radix(p, nc, g, rb, S, kt, mode, n, seed=0):
         shape=(p * rb, n), nnz_real=p * nc * g)
 
 
+def _synthetic_dgt(p, nc, g, rb, kt, mode, nw, n, seed=0):
+    """Uniform full dgt chunks (timing only; vals random)."""
+    import jax.numpy as jnp
+
+    from tpusparse.kernels.dgt_gather import DgtFormat, dgt_geometry
+
+    nhl, ngrp = dgt_geometry(kt, mode)
+    rbs = rb // ngrp
+    T = g // 128
+    rng = np.random.default_rng(seed)
+    nwin = n // 128
+    wins = rng.integers(0, max(nwin - nw, 1), (p, nc, T)).astype(np.int32)
+    sel = rng.integers(0, nw, (p, nc, g))
+    cols = (rng.integers(0, 128, (p, nc, g)) | (sel << 7)).astype(np.int32)
+    lrw = rng.integers(0, rbs, (p, nc, g)).astype(np.int32)
+    vals = rng.standard_normal((p, nc, g)).astype(np.float32)
+    return DgtFormat(
+        wins=jnp.asarray(wins), cols=jnp.asarray(cols), lrw=jnp.asarray(lrw),
+        vals=jnp.asarray(vals),
+        nc_p=jnp.full((p, 1, 1), nc, dtype=jnp.int32),
+        slot_of_origrow=jnp.arange(p * rb, dtype=jnp.int32),
+        n_programs=p, n_chunks=nc, chunk_g=g, rb=rb, kt=kt, mode=mode,
+        resid=True, nw=nw, shape=(p * rb, n), nnz_real=p * nc * g)
+
+
 def measure_chunk_costs(quick: bool = False) -> list[dict]:
-    """Time the span / radix chunk loops on synthetic uniform formats.
+    """Time the span / radix / dgt chunk loops on synthetic uniform formats.
     us/chunk isolates the structural per-chunk cost (the padding factor is
-    exactly 1 here)."""
+    exactly 1 here).  The dgt rows include the streamed-rowhot variant
+    (VERDICT r2 #1 option (i)): scatter planes DMA'd instead of rebuilt."""
     import jax.numpy as jnp
 
     from tpusparse.bench.harness import time_fn
+    from tpusparse.kernels.dgt_gather import dgt_spmm, pack_rowhot
     from tpusparse.kernels.radix_gather import radix_spmm
     from tpusparse.kernels.span_gather import span_spmm
 
@@ -155,6 +182,25 @@ def measure_chunk_costs(quick: bool = False) -> list[dict]:
         rows.append({
             "metric": "chunk_cost", "kernel": "radix", "rb": rb, "S": S,
             "g": g, "kt": kt, "us_per_chunk": round(us, 3),
+            "cyc_per_nz": round(us * 1e-6 * V5E_CLOCK_HZ / g, 3),
+        })
+        _log(rows[-1])
+    dgt_cfgs = [(256, 512, 8, 4, False), (256, 512, 8, 4, True),
+                (512, 512, 8, 4, False), (256, 512, 8, 8, False)]
+    if quick:
+        dgt_cfgs = dgt_cfgs[:2]
+    for rb, g, kt, nw, stream in dgt_cfgs:
+        fmt = _synthetic_dgt(p, nc, g, rb, kt, "fp32x2", nw, n)
+        rh = pack_rowhot(fmt) if stream else None
+        x = jnp.asarray(np.random.default_rng(2).standard_normal((n, kt)),
+                        jnp.float32)
+        sec = time_fn(lambda xv: dgt_spmm(fmt, xv, rowhot=rh, unroll=8),
+                      x, iters=10)
+        us = sec / (p * nc) * 1e6
+        rows.append({
+            "metric": "chunk_cost", "kernel": "dgt", "rb": rb, "g": g,
+            "kt": kt, "nw": nw, "stream_rowhot": stream,
+            "us_per_chunk": round(us, 3),
             "cyc_per_nz": round(us * 1e-6 * V5E_CLOCK_HZ / g, 3),
         })
         _log(rows[-1])

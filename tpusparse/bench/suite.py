@@ -117,26 +117,46 @@ def run_suite(quick: bool = False, out_path: str = "BENCH_SUITE.jsonl",
     # brick-ELL layout vs column-sorted span chunking, SAME radix kernel
     from tpusparse.schedule import Schedule, build_plan
 
+    def ab_rows(tag, variants, x, k, nnz, reps=5, iters=5):
+        """Repeated-measures A/B (VERDICT r2 #5): all variants compile
+        first, then timing reps INTERLEAVE across variants in one process;
+        each row carries median + min/max so narrative claims can check the
+        spread separates before crowning a winner."""
+        plans = {}
+        for vname, make in variants:
+            try:
+                plan = make()
+                np.asarray(plan(jnp.asarray(x)))
+                plans[vname] = plan
+            except Exception as e:
+                emit({"bench": f"{tag}/{vname}", "k": k,
+                      "error": f"{type(e).__name__}: {e}"})
+        times = {v: [] for v in plans}
+        for _ in range(reps):
+            for vname, plan in plans.items():
+                times[vname].append(time_fn(plan.fn, jnp.asarray(x), iters=iters))
+        for vname, ts in times.items():
+            med = float(np.median(ts))
+            emit({
+                "bench": f"{tag}/{vname}", "k": k, "nnz": nnz, "reps": reps,
+                "gflops": round(gflops(nnz, k, med), 3),
+                "gflops_min": round(gflops(nnz, k, max(ts)), 3),
+                "gflops_max": round(gflops(nnz, k, min(ts)), 3),
+                "seconds_median": med,
+                "padding_rate": round(plans[vname].meta["padding_rate"], 3),
+            })
+
     for name in (WL_NAMES if sel("layout") else []):
         mat = workload(name)
         for k in ([8] if quick else [8, 32]):
             x = np.random.default_rng(0).standard_normal((mat.shape[1], k)).astype(np.float32)
-            for fam, S in (("radix_span", 128), ("brick_ell", 256)):
-                try:
-                    plan = build_plan(mat, Schedule(
-                        family=fam, sort=(fam == "brick_ell"), rb=1024,
-                        sublanes=S, g=512, unroll=4, ktile=k))
-                    np.asarray(plan(jnp.asarray(x)))
-                    sec = time_fn(plan.fn, jnp.asarray(x), iters=5)
-                    emit({
-                        "bench": f"layout_h2h/{name}/{fam}", "k": k,
-                        "nnz": mat.nnz,
-                        "gflops": round(gflops(mat.nnz, k, sec), 3),
-                        "padding_rate": round(plan.meta["padding_rate"], 3),
-                    })
-                except Exception as e:
-                    emit({"bench": f"layout_h2h/{name}/{fam}", "k": k,
-                          "error": f"{type(e).__name__}: {e}"})
+            ab_rows(
+                f"layout_h2h/{name}",
+                [(fam, lambda fam=fam, S=S, k=k: build_plan(mat, Schedule(
+                    family=fam, sort=(fam == "brick_ell"), rb=1024,
+                    sublanes=S, g=512, unroll=4, ktile=k)))
+                 for fam, S in (("radix_span", 128), ("brick_ell", 256))],
+                x, k, mat.nnz)
 
     # ---- nested two-level vs flat stripe (VERDICT r1 #3: the nested
     # schedule measured on at least one workload)
@@ -144,20 +164,12 @@ def run_suite(quick: bool = False, out_path: str = "BENCH_SUITE.jsonl",
         mat_n = workload("uniform")
         xn = np.random.default_rng(7).standard_normal(
             (mat_n.shape[1], 8)).astype(np.float32)
-    for fam in (("stripe_total", "stripe_nested") if sel("nested") else ()):
-        try:
-            plan = build_plan(mat_n, Schedule(family=fam, work_per_block=4096,
-                                              unroll=8))
-            np.asarray(plan(jnp.asarray(xn)))
-            sec = time_fn(plan.fn, jnp.asarray(xn), iters=5)
-            emit({
-                "bench": f"nested_h2h/uniform/{fam}", "k": 8, "nnz": mat_n.nnz,
-                "gflops": round(gflops(mat_n.nnz, 8, sec), 3),
-                "padding_rate": round(plan.meta["padding_rate"], 3),
-            })
-        except Exception as e:
-            emit({"bench": f"nested_h2h/uniform/{fam}", "k": 8,
-                  "error": f"{type(e).__name__}: {e}"})
+        ab_rows(
+            "nested_h2h/uniform",
+            [(fam, lambda fam=fam: build_plan(
+                mat_n, Schedule(family=fam, work_per_block=4096, unroll=8)))
+             for fam in ("stripe_total", "stripe_nested")],
+            xn, 8, mat_n.nnz)
 
     # ---- config #3: pruned-LLM unstructured bf16, K=512
     if sel("pruned"):
@@ -276,7 +288,27 @@ def run_suite(quick: bool = False, out_path: str = "BENCH_SUITE.jsonl",
         mv_n = 65536 if quick else 262144
         mv = builder.power_law_coo(mv_n, mv_n, avg_nnz_per_row=40.0, seed=9)
         xv = np.random.default_rng(4).standard_normal(mv.shape[1]).astype(np.float32)
-        for method in ("dg", "radix", "span"):
+        # multi-vector SpMV: m independent vectors through ONE K=8 SpMM
+        # call (VERDICT r2 #8 — the production shape; per-vector rate)
+        try:
+            from tpusparse.spmv import spmv_multi_fn
+
+            nv = 8
+            xm = np.random.default_rng(6).standard_normal(
+                (mv.shape[1], nv)).astype(np.float32)
+            mfn = spmv_multi_fn(mv, n_vectors=nv)
+            np.asarray(mfn(jnp.asarray(xm)))
+            msec = time_fn(mfn, jnp.asarray(xm), iters=10)
+            emit({
+                "bench": "spmv_multi/dgt_k8", "k": nv, "nnz": mv.nnz,
+                # aggregate = nv vectors' worth of nz per second (compare
+                # against nv * the single-vector Gnnz/s rows below)
+                "gnnz_per_s_aggregate": round(nv * mv.nnz / msec / 1e9, 3),
+                "gnnz_per_s_call": round(mv.nnz / msec / 1e9, 3),
+            })
+        except Exception as e:
+            emit({"bench": "spmv_multi/dgt_k8", "error": f"{type(e).__name__}: {e}"})
+        for method in ("dg", "dgt8", "radix", "span"):
             try:
                 vfn = spmv_fn(mv, method=method)
                 np.asarray(vfn(jnp.asarray(xv)))

@@ -64,6 +64,24 @@ def spmv_fn(mat: CooMatrix, method: str = "auto"):
             return dg_spmv(fmt, jnp.asarray(x, jnp.float32))
 
         return fn
+    if method == "dgt8":
+        # the SECOND SpMV design point (VERDICT r2 #8): run the kt=8 dgt
+        # SpMM kernel on x zero-padded to 8 columns.  The 8-group scatter
+        # geometry (static-residue masks) is structurally cheaper per nz
+        # than the dedicated 64-group kt=1 kernel; the price is an X
+        # resident of N*8*4 bytes, so it gates on VMEM.
+        from tpusparse.kernels.dgt_gather import dgt_spmv, pack_dgt
+
+        assert n * 32 <= 9 * 1024 * 1024, "x3 resident would bust VMEM"
+        rb = 256 if m >= 256 else max(8, 8 * (-(-m // 8)))
+        fmt = pack_dgt(mat, rb=rb, g=512, kt=8, mode="fp32x2", resid=True,
+                       nw=4)
+
+        def fn(x):
+            assert x.shape == (n,), f"x shape {x.shape} != ({n},)"
+            return dgt_spmv(fmt, jnp.asarray(x, jnp.float32))
+
+        return fn
     if method == "radix":
         # kt=1 lane packing: spr=64 X rows per sublane word, full MXU lanes
         from tpusparse.kernels.radix_gather import pack_radix, radix_spmm
@@ -118,3 +136,22 @@ def spmv_fn(mat: CooMatrix, method: str = "auto"):
 
 def spmv(mat: CooMatrix, x, method: str = "auto"):
     return spmv_fn(mat, method)(jnp.asarray(x))
+
+
+def spmv_multi_fn(mat: CooMatrix, n_vectors: int = 8):
+    """Returns ``fn(X[N, m]) -> Y[M, m]`` — m independent SpMVs fused into
+    ONE K=m SpMM call (the common production shape; VERDICT r2 #8).  The
+    kernel cost per nz is that of K=8 SpMM, so per-vector throughput is
+    ~m times the single-vector rate."""
+    from tpusparse.kernels.dgt_gather import dgt_spmm, pack_dgt
+
+    m, n = mat.shape
+    assert 1 <= n_vectors <= 8, "pack with ktile > 8 for more vectors"
+    rb = 256 if m >= 256 else max(8, 8 * (-(-m // 8)))
+    fmt = pack_dgt(mat, rb=rb, g=512, kt=8, mode="fp32x2", resid=True, nw=4)
+
+    def fn(xs):
+        assert xs.shape == (n, n_vectors), xs.shape
+        return dgt_spmm(fmt, jnp.asarray(xs, jnp.float32))
+
+    return fn
