@@ -390,7 +390,7 @@ def run_suite(quick: bool = False, out_path: str = "BENCH_SUITE.jsonl",
         emit({"bench": "graph", "error": f"{type(e).__name__}: {e}"})
 
     # ---- SpGEMM through the reusable runner, device-side re-sparsify
-    from tpusparse.spgemm import spgemm_fn
+    from tpusparse.spgemm import HOST_CROSSOVER_FLOPS, spgemm_fn
 
     try:
         if not sel("spgemm"):
@@ -427,7 +427,38 @@ def run_suite(quick: bool = False, out_path: str = "BENCH_SUITE.jsonl",
             "seconds_scipy": round(sp_sec, 4),
             "gflops": round(flops / sg_sec / 1e9, 3),
             "gflops_scipy": round(flops / sp_sec / 1e9, 3),
+            "route": "host" if flops < HOST_CROSSOVER_FLOPS else "device",
         })
+        if not quick:
+            # large/denser product: the device's dense-tile work is
+            # independent of B's density, so past the crossover it beats
+            # host scipy (VERDICT r2 #6 "win somewhere")
+            sa2 = builder.power_law_coo(16384, 16384, avg_nnz_per_row=128.0,
+                                        seed=14)
+            sb2 = builder.power_law_coo(16384, 16384, avg_nnz_per_row=256.0,
+                                        seed=15)
+            run2 = spgemm_fn(sa2)
+            run2(sb2)
+            t0 = _t.time()
+            c2 = run2(sb2)
+            dev2 = _t.time() - t0
+            sa2_s = _sp.coo_matrix((sa2.vals, (sa2.rows, sa2.cols)),
+                                   shape=sa2.shape).tocsr()
+            sb2_s = _sp.coo_matrix((sb2.vals, (sb2.rows, sb2.cols)),
+                                   shape=sb2.shape).tocsr()
+            t0 = _t.time()
+            _c = sa2_s @ sb2_s
+            sp2 = _t.time() - t0
+            brow2 = np.bincount(sb2.rows, minlength=16384)
+            flops2 = 2.0 * brow2[sa2.cols].sum()
+            emit({
+                "bench": "spgemm_powerlaw_16k_dense",
+                "nnz_a": sa2.nnz, "nnz_b": sb2.nnz, "nnz_c": c2.nnz,
+                "seconds": round(dev2, 3), "seconds_scipy": round(sp2, 3),
+                "gflops": round(flops2 / dev2 / 1e9, 3),
+                "gflops_scipy": round(flops2 / sp2 / 1e9, 3),
+                "device_vs_scipy": round(sp2 / dev2, 2),
+            })
     except _Deselected:
         pass
     except Exception as e:
