@@ -43,9 +43,10 @@ def _python_sources(roots: Iterable[str] | None = None, max_files: int | None = 
 
         roots = {sysconfig.get_paths()["purelib"], sysconfig.get_paths()["stdlib"]}
     n = 0
-    for root in roots:
+    for root in sorted(roots):
         for dirpath, dirnames, filenames in os.walk(root):
-            dirnames[:] = [d for d in dirnames if d not in ("__pycache__", "tests")]
+            dirnames[:] = sorted(d for d in dirnames
+                                 if d not in ("__pycache__", "tests"))
             for f in sorted(filenames):
                 if f.endswith(".py"):
                     yield os.path.join(dirpath, f)
