@@ -171,10 +171,23 @@ class MetaDataSet:
         interleaved = self.has(Level.GLOBAL, "interleaved", sub) and bool(
             self.get_scalar(Level.GLOBAL, "interleaved", sub)
         )
+        col_tiled = any(self.has(lv, "col_tile_indices", sub)
+                        for lv in (Level.TBLOCK, Level.WARP, Level.THREAD))
         if nnz:
             assert rows.min() >= 0 and rows.max() < row_num, f"sub {sub}: row index range"
             assert cols.min() >= 0 and cols.max() < col_num, f"sub {sub}: col index range"
-            if not interleaved:
+            if col_tiled and not interleaved:
+                # col-direction blocking stores nz by (col tile, row): rows
+                # must be sorted WITHIN each tile (reference logical_check
+                # recognizes the col-direction orders, metadata_set.cc:817+)
+                for lv in (Level.TBLOCK, Level.WARP, Level.THREAD):
+                    if self.has(lv, "col_tile_indices", sub):
+                        fnz = self.get(lv, "first_nz_indices", sub).astype(np.int64)
+                        for a, b in zip(fnz[:-1], fnz[1:]):
+                            assert np.all(np.diff(rows[a:b].astype(np.int64)) >= 0), (
+                                f"sub {sub}: rows not sorted within col tile")
+                        break
+            elif not interleaved:
                 assert np.all(np.diff(rows.astype(np.int64)) >= 0), f"sub {sub}: rows not sorted"
 
         for level in (Level.TBLOCK, Level.WARP, Level.THREAD):

@@ -468,22 +468,36 @@ def _build_hybrid_cols_plan(mat: CooMatrix, sched: Schedule, interpret) -> SpmmP
 def _build_span_colsplit_plan(mat: CooMatrix, sched: Schedule, interpret) -> SpmmPlan:
     """Column-partitioned span family for large N at small K: the span
     kernel needs X resident in VMEM, so the matrix is split into
-    ``col_split`` column ranges (the reference's col-direction matrix-div
-    idea applied at the plan level), each packed independently; the plan
-    sums the partial products.  Every sub-format gathers back to the full
-    output rows, so the sum is a plain add."""
+    ``col_split`` column ranges by the FixedIntervalColBlockingOperator
+    (the reference's col-direction blocking,
+    fixed_interval_col_direction_*_blocking_operator @ operator.hpp:727),
+    each packed independently; the plan sums the partial products.  Every
+    sub-format gathers back to the full output rows, so the sum is a plain
+    add."""
     import jax.numpy as jnp
 
     from tpusparse.kernels.span_gather import pack_span, span_spmm
+    from tpusparse.meta.set import create_init_metadata_set
+    from tpusparse.ops import FixedIntervalColBlockingOperator, OperatorExecutor
 
     m, n = mat.shape
     s = max(int(sched.col_split), 2)
     width = -(-n // s)
+    # run the actual distributing operator (validity gates + provenance),
+    # then consume its emitted column-tile metadata
+    ms = create_init_metadata_set(mat)
+    ex = OperatorExecutor(ms)
+    ex.add_and_run(FixedIntervalColBlockingOperator(0, Level.TBLOCK, width))
+    first_nzs = ms.get(Level.TBLOCK, "first_nz_indices", 0)
+    col_tiles = ms.get(Level.TBLOCK, "col_tile_indices", 0)
+    rows_s, cols_s, vals_s = ms.coo(0)
     fmts, ranges = [], []
-    for lo in range(0, n, width):
+    for t in range(len(col_tiles)):
+        lo = int(col_tiles[t])
         hi = min(lo + width, n)
-        sel = (mat.cols >= lo) & (mat.cols < hi)
-        sub = CooMatrix(mat.rows[sel], mat.cols[sel] - lo, mat.vals[sel], (m, hi - lo))
+        a, b = int(first_nzs[t]), int(first_nzs[t + 1])
+        sub = CooMatrix(rows_s[a:b], cols_s[a:b] - lo, vals_s[a:b],
+                        (m, hi - lo)).sort_row_major()
         fmts.append(pack_span(sub, rb=sched.rb, ct=min(sched.ct, hi - lo + 8),
                               g=sched.g))
         ranges.append((lo, hi))
@@ -502,7 +516,8 @@ def _build_span_colsplit_plan(mat: CooMatrix, sched: Schedule, interpret) -> Spm
         fn=fn, formats=fmts, shape=mat.shape,
         meta={"schedule": sched.describe(), "n_subs": len(fmts),
               "padding_rate": float(np.mean(pads)) if pads else 1.0,
-              "operator_history": f"span_colsplit[{s}]"},
+              "operator_history": (
+                  f"fixed_col_blocking[{width}] + span_colsplit[{s}]")},
     )
 
 
