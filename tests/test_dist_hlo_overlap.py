@@ -12,7 +12,7 @@ from jax.sharding import Mesh
 from tpusparse.io import builder
 
 
-@pytest.mark.parametrize("kind", ["stripe", "span", "radix", "dg"])
+@pytest.mark.parametrize("kind", ["stripe", "span", "radix", "dg", "dgt"])
 def test_ring_halo_loop_contains_permute_and_compute(kind):
     """All four ring variants, including the champion radix/dg kernels
     (VERDICT r2 #2: the deployed rings need the overlap assertion too)."""
@@ -37,6 +37,11 @@ def test_ring_halo_loop_contains_permute_and_compute(kind):
 
         fmt = pack_halo_dg(mat, 4, rows_per_program=64, ns=2, g=128, kt=8)
         fn, put_inputs = build_halo_dg_spmm(fmt, mesh, kt=8)
+    elif kind == "dgt":
+        from tpusparse.dist.overlap import build_halo_dgt_spmm, pack_halo_dgt
+
+        fmt = pack_halo_dgt(mat, 4, rows_per_program=64, g=128, kt=8)
+        fn, put_inputs = build_halo_dgt_spmm(fmt, mesh)
     else:
         from tpusparse.dist.overlap import (build_halo_span_spmm,
                                             pack_halo_span)

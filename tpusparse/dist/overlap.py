@@ -152,6 +152,7 @@ def _build_ring(
     k_multiple,
     step_call,
     allow_k_shard: bool = True,
+    fold_out=None,
 ):
     """The shared ppermute ring harness (VERDICT r2 #9: one ring, N kernels).
 
@@ -204,6 +205,8 @@ def _build_ring(
     def fn(*args):
         *planes, slot, x = args
         y_slots = ring_kernel(*planes, x)
+        if fold_out is not None:
+            y_slots = fold_out(y_slots)
         oob = y_slots.shape[0]
         slot = jnp.where(slot < 0, oob, slot)
         return jnp.take(y_slots, slot, axis=0, mode="fill", fill_value=0)
@@ -608,4 +611,214 @@ def build_halo_dg_spmm(
         tail_pad=((fmt.ct + 127) // 128) * 128 + 128,
         k_multiple=lambda k_in: kt,
         step_call=step_call,
+    )
+
+
+@dataclasses.dataclass
+class HaloDgtFormat:
+    """Ring halo format for the dgt kernel (round-3 champion): per
+    (device, ring-chunk, program) bucket, the consecutive-window tile walk
+    of kernels/dgt_gather; heavy rows split into <=8 aligned virtual rows
+    whose outputs fold through the pairwise-sum pyramid before the slot
+    gather (same machinery as single-chip pack_dgt)."""
+
+    wins: Any   # [D, C, P, NC, T] int32
+    cols: Any   # [D, C, P, NC, G] int32 (lane | sel<<7)
+    lrw: Any    # [D, C, P, NC, G] int32
+    vals: Any   # [D, C, P, NC, G] f32
+    slot_of_origrow: Any  # [M] int32 pyramid index over D*P*rb slots
+    shape: tuple[int, int]
+    n_devices: int
+    programs_per_device: int
+    n_chunks: int
+    chunk_g: int
+    rb: int
+    kt: int
+    mode: str
+    resid: bool
+    nw: int
+    split_levels: int
+    n_chunk_rows: int
+
+    @property
+    def padding_rate(self) -> float:
+        total = (self.n_devices ** 2 * self.programs_per_device
+                 * self.n_chunks * self.chunk_g)
+        nnz = int(np.count_nonzero(np.asarray(self.vals)))
+        return total / max(nnz, 1)
+
+
+def pack_halo_dgt(
+    mat: CooMatrix,
+    n_devices: int,
+    *,
+    rows_per_program: int = 256,
+    g: int = 512,
+    kt: int = 8,
+    mode: str = "fp32x2",
+    nw: int = 4,
+    resid: bool = True,
+    split: int | str | None = "auto",
+) -> HaloDgtFormat:
+    """Halo ring format for the dgt kernel: virtual-row splits, then a
+    greedy unit deal over the D*P (device, program) bins that balances the
+    per-ring-chunk nnz vector under size-aligned slot allocation, then the
+    dgt tile walk per (device, chunk, program) bucket."""
+    from tpusparse.kernels.common import round_up as _round_up
+    from tpusparse.kernels.dgt_gather import _dgt_walk, dgt_geometry
+
+    nhl, ngrp = dgt_geometry(kt, mode)
+    cap = (128 // ngrp) if resid else 128
+    rb = rows_per_program
+    assert rb % ngrp == 0 and rb % 8 == 0, rb
+    assert g % 128 == 0, g
+    T = g // 128
+    m, n = mat.shape
+    d = n_devices
+    rows = np.asarray(mat.rows)
+    cols = np.asarray(mat.cols)
+    vals = np.asarray(mat.vals, dtype=np.float32)
+    nnz = rows.size
+    n_chunk_rows = _round_up(-(-max(n, 1) // d), 8)
+
+    # virtual rows (pow2 pieces, see pack_dgt)
+    lengths = np.bincount(rows, minlength=m) if m else np.zeros(0, np.int64)
+    if split == "auto":
+        split = max(64, 8 * max(nnz // max(m, 1), 1))
+    if not split:
+        pieces = np.ones(m, dtype=np.int64)
+    else:
+        raw = np.minimum(np.maximum(-(-lengths // int(split)), 1), 8)
+        pieces = np.where(raw > 4, 8, np.where(raw > 2, 4, raw)).astype(np.int64)
+    vrow_base = np.concatenate([[0], np.cumsum(pieces)]).astype(np.int64)
+    mv = int(vrow_base[-1])
+    if int(pieces.max(initial=1)) > 1:
+        order0 = np.argsort(rows, kind="stable")
+        row_start = np.concatenate([[0], np.cumsum(lengths)])
+        rnk = np.arange(nnz, dtype=np.int64) - row_start[rows[order0]]
+        vr = np.empty(nnz, dtype=np.int64)
+        vr[order0] = vrow_base[rows[order0]] + rnk % pieces[rows[order0]]
+    else:
+        vr = rows
+    smax = int(pieces.max(initial=1))
+
+    # greedy unit deal over bins: per-chunk balance + aligned slots
+    chunk_of_nz = cols // n_chunk_rows
+    rc = np.zeros((m, d), dtype=np.int64)
+    np.add.at(rc, (rows, chunk_of_nz), 1)
+    order_u = np.lexsort((-lengths, -pieces))
+    p_loc = max(-(-mv // (d * rb)), 1)
+    big = np.iinfo(np.int64).max
+    while True:
+        nbins = d * p_loc
+        bin_of_unit = np.zeros(m, dtype=np.int64)
+        base_of_unit = np.zeros(m, dtype=np.int64)
+        loads = np.zeros((nbins, d), dtype=np.int64)
+        used = np.zeros(nbins, dtype=np.int64)
+        ok = True
+        for u in order_u:
+            size = int(pieces[u])
+            base_cand = -(-used // size) * size
+            feasible = base_cand + size <= rb
+            if not feasible.any():
+                ok = False
+                break
+            worst = np.where(feasible, (loads + rc[u]).max(axis=1), big)
+            b = int(np.argmin(worst))
+            bin_of_unit[u] = b
+            base_of_unit[u] = base_cand[b]
+            used[b] = base_cand[b] + size
+            loads[b] += rc[u]
+        if ok:
+            break
+        p_loc += 1
+
+    unit_of_vr = np.repeat(np.arange(m), pieces)
+    lrow_of_vr = base_of_unit[unit_of_vr] + np.arange(mv) - vrow_base[unit_of_vr]
+    bin_of_vr = bin_of_unit[unit_of_vr]
+    dev_nz = bin_of_vr[vr] // p_loc
+    prog_nz = bin_of_vr[vr] % p_loc
+    lrow_nz = lrow_of_vr[vr]
+    lcol_nz = cols % n_chunk_rows
+    bucket = (dev_nz * d + chunk_of_nz) * p_loc + prog_nz
+
+    wins_f, cols_f, lrw_f, vals_f, nc_arr, _, _ = _dgt_walk(
+        bucket, lcol_nz, lrow_nz, vals, n_buckets=d * d * p_loc,
+        col_span=n_chunk_rows, ngrp=ngrp, cap=cap, T=T, g=g, nw=nw,
+        resid=resid)
+    nc = cols_f.shape[1]
+    shape5 = (d, d, p_loc)
+
+    # pyramid index over the D*P*rb slot space
+    nslots = d * p_loc * rb
+    slot0_of_unit = bin_of_unit * rb + base_of_unit
+    lvl_of_unit = np.log2(pieces).astype(np.int64) if m else pieces
+    lvl_off = np.array([0, nslots, nslots + nslots // 2,
+                        nslots + nslots // 2 + nslots // 4], dtype=np.int64)
+    pyr_idx = (lvl_off[lvl_of_unit] + (slot0_of_unit >> lvl_of_unit)).astype(np.int32)
+
+    return HaloDgtFormat(
+        wins=jnp.asarray(wins_f.reshape(*shape5, nc, T)),
+        cols=jnp.asarray(cols_f.reshape(*shape5, nc, g)),
+        lrw=jnp.asarray(lrw_f.reshape(*shape5, nc, g)),
+        vals=jnp.asarray(vals_f.reshape(*shape5, nc, g)),
+        slot_of_origrow=jnp.asarray(pyr_idx),
+        shape=(m, n),
+        n_devices=d,
+        programs_per_device=p_loc,
+        n_chunks=nc,
+        chunk_g=g,
+        rb=rb,
+        kt=kt,
+        mode=mode,
+        resid=resid,
+        nw=nw,
+        split_levels=smax,
+        n_chunk_rows=n_chunk_rows,
+    )
+
+
+def build_halo_dgt_spmm(
+    fmt: HaloDgtFormat,
+    mesh: Mesh,
+    *,
+    unroll: int = 8,
+    interpret: bool | None = None,
+):
+    """dgt-kernel variant of the ppermute ring (the round-3 champion
+    per-chip path): same overlap structure; split-row outputs fold through
+    the pairwise-sum pyramid before the slot gather."""
+    from tpusparse.kernels.dgt_gather import _dgt_call
+
+    if interpret is None:
+        interpret = kernel_backend_interpret()
+    p_loc = fmt.programs_per_device
+
+    def step_call(subs, x_cur):
+        return _dgt_call(
+            subs[0], subs[1], subs[2], subs[3], x_cur,
+            P=p_loc, nc=fmt.n_chunks, g=fmt.chunk_g, rb=fmt.rb, kt=fmt.kt,
+            mode=fmt.mode, resid=fmt.resid, nw=fmt.nw, unroll=unroll,
+            interpret=interpret,
+        )
+
+    def fold_out(y_slots):
+        pyr = [y_slots]
+        for _ in range(fmt.split_levels.bit_length() - 1):
+            prev = pyr[-1]
+            pyr.append(prev.reshape(prev.shape[0] // 2, 2,
+                                    *prev.shape[1:]).sum(1))
+        return jnp.concatenate(pyr, axis=0) if fmt.split_levels > 1 else y_slots
+
+    return _build_ring(
+        mesh,
+        n_devices=fmt.n_devices,
+        arrays=(fmt.wins, fmt.cols, fmt.lrw, fmt.vals),
+        slot_of_origrow=fmt.slot_of_origrow,
+        out_slots=p_loc * fmt.rb,
+        n_chunk_rows=fmt.n_chunk_rows,
+        tail_pad=0,
+        k_multiple=lambda k_in: fmt.kt,
+        step_call=step_call,
+        fold_out=fold_out,
     )

@@ -133,6 +133,124 @@ def _rank_within_groups(key: np.ndarray) -> np.ndarray:
     return rank
 
 
+def _dgt_walk(bucket_arr, cols, lrow_arr, vals, *, n_buckets, col_span,
+              ngrp, cap, T, g, nw, resid):
+    """The dgt chunk walk over arbitrary nz buckets (single-chip: bucket =
+    program; halo ring: bucket = (device, ring-chunk, program)).
+
+    ``cols`` are LOCAL column indices within ``col_span``; ``lrow_arr``
+    bucket-local rows.  Greedy nw-window tile packing: a tile's windows
+    must be CONSECUTIVE — [base, base+nw) — so the kernel fetches all of
+    them with ONE dynamic slice of the resident X (measured: per-chunk
+    time scales with the count of scalar-addressed dynamic slices,
+    100/200/358 ns at 8/16/32 slices).  A run first tops up the carried
+    open tile (if its window is within the tile's reach), then fills fresh
+    single-window tiles, the last of which becomes the new open tile.
+
+    Returns (wins [B,NC,T], cols [B,NC,G], lrw, vals, nc_arr [B],
+    flat destination slot per SORTED nz, the sort order)."""
+    nnz = cols.size
+    nwin_mat = int(cdiv(col_span, 128))
+    ncls = ngrp if resid else 1
+    klass = (lrow_arr % ngrp) if resid else np.zeros(nnz, dtype=np.int64)
+
+    # (bucket, window) run id; stable nz order within: by column.
+    order = np.lexsort((cols, bucket_arr))
+    b_s = bucket_arr[order]
+    win_s = (cols // 128)[order]
+    cls_s = klass[order]
+    run_key = b_s * nwin_mat + win_s
+    uniq, run_id = np.unique(run_key, return_inverse=True)
+    n_runs = uniq.size
+    run_b = uniq // nwin_mat
+    run_win = uniq % nwin_mat
+    rank = _rank_within_groups(run_id * ncls + cls_s)  # rank in (run, class)
+    cnt = np.bincount(run_id * ncls + cls_s,
+                      minlength=n_runs * ncls).reshape(n_runs, ncls)
+
+    take = np.zeros((n_runs, ncls), dtype=np.int64)
+    open_tile = np.zeros(n_runs, dtype=np.int64)
+    open_fill = np.zeros((n_runs, ncls), dtype=np.int64)
+    join_pos = np.zeros(n_runs, dtype=np.int64)
+    new_base = np.zeros(n_runs, dtype=np.int64)
+    fresh_n = np.zeros(n_runs, dtype=np.int64)
+    tot_tiles = np.zeros(n_buckets, dtype=np.int64)
+    cur_b = -1
+    room = None
+    open_w = -1  # window base of the carried open tile
+    ntiles = 0
+    for r in range(n_runs):
+        b = run_b[r]
+        if b != cur_b:
+            if cur_b >= 0:
+                tot_tiles[cur_b] = ntiles
+            cur_b = b
+            ntiles = 0
+            room = None
+            open_w = -1
+        c = cnt[r]
+        w = int(run_win[r])
+        joined = (room is not None and 0 <= w - open_w < nw
+                  and int(np.minimum(room, c).sum()) > 0)
+        if joined:
+            t = np.minimum(room, c)
+            take[r] = t
+            open_tile[r] = ntiles - 1
+            open_fill[r] = cap - room
+            join_pos[r] = w - open_w
+            room = room - t
+        else:
+            t = np.zeros(ncls, dtype=np.int64)
+        left = c - t
+        lmax = int(left.max())
+        if lmax > 0:
+            n_new = -(-lmax // cap)
+            new_base[r] = ntiles
+            fresh_n[r] = n_new
+            ntiles += n_new
+            room = cap - np.maximum(left - (n_new - 1) * cap, 0)
+            open_w = w
+    if cur_b >= 0:
+        tot_tiles[cur_b] = ntiles
+
+    nc_arr = np.maximum(-(-tot_tiles // T), 1)
+    nc = max(int(nc_arr.max()) if n_buckets else 1, 1)
+
+    t_of = take[run_id, cls_s]
+    in_open = rank < t_of
+    gtile = np.where(in_open, open_tile[run_id],
+                     new_base[run_id] + (rank - t_of) // cap)
+    pos = np.where(in_open, open_fill[run_id, cls_s] + rank,
+                   (rank - t_of) % cap)
+    lane = cls_s + ngrp * pos if resid else pos
+    chunk = gtile // T
+    slot = (gtile % T) * 128 + lane                # slot within chunk
+    sel = np.where(in_open, join_pos[run_id], 0)
+
+    # per-tile window base: fresh tiles carry their creator run's window;
+    # joining runs sit at lane-selector (their window - base) < nw
+    wins_flat = np.zeros(n_buckets * nc * T, dtype=np.int32)
+    has_fresh = fresh_n > 0
+    if has_fresh.any():
+        fr = np.flatnonzero(has_fresh)
+        base = run_b[fr] * nc * T + new_base[fr]
+        idx = (np.repeat(base, fresh_n[fr])
+               + _rank_within_groups(np.repeat(fr, fresh_n[fr])))
+        wins_flat[idx] = np.repeat(run_win[fr], fresh_n[fr]).astype(np.int32)
+    wins_f = wins_flat.reshape(n_buckets, nc, T)
+
+    cols_f = np.zeros((n_buckets, nc, g), dtype=np.int32)
+    lrw_f = np.zeros((n_buckets, nc, g), dtype=np.int32)
+    vals_f = np.zeros((n_buckets, nc, g), dtype=np.float32)
+
+    flat = (b_s * nc + chunk) * g + slot
+    cols_f.reshape(-1)[flat] = ((cols[order] % 128) | (sel << 7)).astype(np.int32)
+    lrw_s = lrow_arr[order]
+    lrw_f.reshape(-1)[flat] = ((lrw_s // ngrp) if resid else lrw_s).astype(np.int32)
+    vals_f.reshape(-1)[flat] = vals[order].astype(np.float32)
+    return wins_f, cols_f, lrw_f, vals_f, nc_arr, flat, order
+
+
 def pack_dgt(
     mat_or_ms,
     sub: int = 0,
@@ -267,113 +385,10 @@ def pack_dgt(
         p_arr = vr // rb
         lrow_arr = vr % rb
 
-    win_arr = cols // 128
-    nwin_mat = int(cdiv(col_num, 128))
-    ncls = ngrp if resid else 1
-    klass = (lrow_arr % ngrp) if resid else np.zeros(nnz, dtype=np.int64)
-
-    # (program, window) run id; stable nz order within: by column.
-    order = np.lexsort((cols, p_arr))
-    p_s = p_arr[order]
-    win_s = win_arr[order]
-    cls_s = klass[order]
-    run_key = p_s * nwin_mat + win_s
-    uniq, run_id = np.unique(run_key, return_inverse=True)
-    n_runs = uniq.size
-    run_p = uniq // nwin_mat
-    run_win = uniq % nwin_mat
-    rank = _rank_within_groups(run_id * ncls + cls_s)  # rank in (run, class)
-    cnt = np.bincount(run_id * ncls + cls_s,
-                      minlength=n_runs * ncls).reshape(n_runs, ncls)
-
-    # Greedy nw-window tile walk per program.  A tile's windows must be
-    # CONSECUTIVE — [base, base+nw) — so the kernel fetches all of them
-    # with ONE dynamic slice of the resident X (measured: per-chunk time
-    # scales with the count of scalar-addressed dynamic slices, 100 ->
-    # 200 -> 358 ns/chunk at 8/16/32 slices; consecutive windows cut it to
-    # T slices).  A run first tops up the carried open tile (if its window
-    # is within the tile's reach), then fills fresh single-window tiles,
-    # the last of which becomes the new open tile.
-    take = np.zeros((n_runs, ncls), dtype=np.int64)
-    open_tile = np.zeros(n_runs, dtype=np.int64)
-    open_fill = np.zeros((n_runs, ncls), dtype=np.int64)
-    join_pos = np.zeros(n_runs, dtype=np.int64)
-    new_base = np.zeros(n_runs, dtype=np.int64)
-    fresh_n = np.zeros(n_runs, dtype=np.int64)
-    tot_tiles = np.zeros(p_count, dtype=np.int64)
-    cur_p = -1
-    room = None
-    open_w = -1  # window base of the carried open tile
-    ntiles = 0
-    for r in range(n_runs):
-        p = run_p[r]
-        if p != cur_p:
-            if cur_p >= 0:
-                tot_tiles[cur_p] = ntiles
-            cur_p = p
-            ntiles = 0
-            room = None
-            open_w = -1
-        c = cnt[r]
-        w = int(run_win[r])
-        joined = (room is not None and 0 <= w - open_w < nw
-                  and int(np.minimum(room, c).sum()) > 0)
-        if joined:
-            t = np.minimum(room, c)
-            take[r] = t
-            open_tile[r] = ntiles - 1
-            open_fill[r] = cap - room
-            join_pos[r] = w - open_w
-            room = room - t
-        else:
-            t = np.zeros(ncls, dtype=np.int64)
-        left = c - t
-        lmax = int(left.max())
-        if lmax > 0:
-            n_new = -(-lmax // cap)
-            new_base[r] = ntiles
-            fresh_n[r] = n_new
-            ntiles += n_new
-            room = cap - np.maximum(left - (n_new - 1) * cap, 0)
-            open_w = w
-    if cur_p >= 0:
-        tot_tiles[cur_p] = ntiles
-
-    nc_arr = np.maximum(-(-tot_tiles // T), 1)
-    nc = max(int(nc_arr.max()) if p_count else 1, 1)
-
-    t_of = take[run_id, cls_s]
-    in_open = rank < t_of
-    gtile = np.where(in_open, open_tile[run_id],
-                     new_base[run_id] + (rank - t_of) // cap)
-    pos = np.where(in_open, open_fill[run_id, cls_s] + rank,
-                   (rank - t_of) % cap)
-    lane = cls_s + ngrp * pos if resid else pos
-    chunk = gtile // T
-    slot = (gtile % T) * 128 + lane                # slot within chunk
-    sel = np.where(in_open, join_pos[run_id], 0)
-
-    # per-tile window base: fresh tiles carry their creator run's window;
-    # joining runs sit at lane-selector (their window - base) < nw
-    wins_flat = np.zeros(p_count * nc * T, dtype=np.int32)
-    has_fresh = fresh_n > 0
-    if has_fresh.any():
-        fr = np.flatnonzero(has_fresh)
-        base = run_p[fr] * nc * T + new_base[fr]
-        idx = (np.repeat(base, fresh_n[fr])
-               + _rank_within_groups(np.repeat(fr, fresh_n[fr])))
-        wins_flat[idx] = np.repeat(run_win[fr], fresh_n[fr]).astype(np.int32)
-    wins_f = wins_flat.reshape(p_count, nc, T)
-
-    cols_f = np.zeros((p_count, nc, g), dtype=np.int32)
-    lrw_f = np.zeros((p_count, nc, g), dtype=np.int32)
-    vals_f = np.zeros((p_count, nc, g), dtype=np.float32)
-
-    flat = (p_s * nc + chunk) * g + slot
-    cols_f.reshape(-1)[flat] = ((cols[order] % 128) | (sel << 7)).astype(np.int32)
-    lrw_s = lrow_arr[order]
-    lrw_f.reshape(-1)[flat] = ((lrw_s // ngrp) if resid else lrw_s).astype(np.int32)
-    vals_f.reshape(-1)[flat] = np.asarray(vals)[order].astype(np.float32)
+    wins_f, cols_f, lrw_f, vals_f, nc_arr, flat, order = _dgt_walk(
+        p_arr, cols, lrow_arr, np.asarray(vals), n_buckets=p_count,
+        col_span=col_num, ngrp=ngrp, cap=cap, T=T, g=g, nw=nw, resid=resid)
+    nc = cols_f.shape[1]
 
     # pyramid index: row -> one gather position in [y; fold2; fold4; fold8]
     if deal == "length":
