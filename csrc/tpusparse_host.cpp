@@ -353,4 +353,68 @@ void ts_span_fill_al(const int64_t* cols, const int64_t* lrow,
   }
 }
 
+
+// ---------------------------------------------------------------------------
+// dgt greedy run walk (kernels/dgt_gather._dgt_walk inner loop): per
+// (bucket, 128-col window) run, top up the carried open tile when the run's
+// window lies within [open_w, open_w + nw) and class room remains, else
+// open ceil(max_class/cap) fresh tiles.  Single pass over runs; outputs
+// feed the vectorized numpy slot assignment.
+extern "C" void ts_dgt_runs(
+    const int64_t* run_b, const int64_t* run_win, const int64_t* cnt,
+    int64_t n_runs, int64_t ncls, int64_t cap, int64_t nw, int64_t n_buckets,
+    int64_t* take, int64_t* open_tile, int64_t* open_fill, int64_t* join_pos,
+    int64_t* new_base, int64_t* fresh_n, int64_t* tot_tiles) {
+  (void)n_buckets;
+  std::vector<int64_t> room(ncls, 0);
+  bool have_room = false;
+  int64_t cur_b = -1, open_w = -1, ntiles = 0;
+  for (int64_t r = 0; r < n_runs; ++r) {
+    int64_t b = run_b[r];
+    if (b != cur_b) {
+      if (cur_b >= 0) tot_tiles[cur_b] = ntiles;
+      cur_b = b;
+      ntiles = 0;
+      have_room = false;
+      open_w = -1;
+    }
+    const int64_t* c = cnt + r * ncls;
+    int64_t w = run_win[r];
+    int64_t take_sum = 0;
+    if (have_room && w - open_w >= 0 && w - open_w < nw) {
+      for (int64_t k = 0; k < ncls; ++k)
+        take_sum += std::min(room[k], c[k]);
+    }
+    int64_t left_max = 0;
+    if (take_sum > 0) {
+      open_tile[r] = ntiles - 1;
+      join_pos[r] = w - open_w;
+      for (int64_t k = 0; k < ncls; ++k) {
+        int64_t t = std::min(room[k], c[k]);
+        take[r * ncls + k] = t;
+        open_fill[r * ncls + k] = cap - room[k];
+        room[k] -= t;
+        left_max = std::max(left_max, c[k] - t);
+      }
+    } else {
+      for (int64_t k = 0; k < ncls; ++k)
+        left_max = std::max(left_max, c[k]);
+    }
+    if (left_max > 0) {
+      int64_t n_new = (left_max + cap - 1) / cap;
+      new_base[r] = ntiles;
+      fresh_n[r] = n_new;
+      ntiles += n_new;
+      for (int64_t k = 0; k < ncls; ++k) {
+        int64_t left = c[k] - take[r * ncls + k];
+        int64_t in_last = left - (n_new - 1) * cap;
+        room[k] = cap - std::max<int64_t>(in_last, 0);
+      }
+      have_room = true;
+      open_w = w;
+    }
+  }
+  if (cur_b >= 0) tot_tiles[cur_b] = ntiles;
+}
+
 }  // extern "C"

@@ -141,3 +141,22 @@ def test_dgt_padding_reasonable():
     A = power_law_coo(8192, 8192, avg_nnz_per_row=24.0, seed=19)
     fmt = pack_dgt(A, rb=1024, g=512, kt=8, resid=True)
     assert fmt.padding_rate < 1.6, fmt.padding_rate
+
+
+def test_dgt_walk_native_matches_python():
+    """The native ts_dgt_runs walk must reproduce the Python greedy
+    bit-for-bit (same format arrays)."""
+    from tpusparse import native
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+    from unittest import mock
+
+    A = _coo("power", 1200, 2500, 9000, seed=31)
+    f_native = pack_dgt(A, rb=256, g=256, kt=8, nw=4)
+    with mock.patch.object(native, "dgt_runs", lambda *a, **k: None):
+        f_python = pack_dgt(A, rb=256, g=256, kt=8, nw=4)
+    for name in ("wins", "cols", "lrw", "vals", "nc_p", "slot_of_origrow"):
+        got = np.asarray(getattr(f_native, name))
+        want = np.asarray(getattr(f_python, name))
+        assert np.array_equal(got, want), name

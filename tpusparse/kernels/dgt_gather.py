@@ -115,6 +115,22 @@ class DgtFormat:
                    for a in (self.wins, self.cols, self.lrw, self.vals))
 
 
+def auto_rb_dgt(m: int, n: int, nnz: int, *, nw: int = 4,
+                ngrp: int = 8) -> int:
+    """Rows-per-program for a target tile fill: a tile holds nz from an
+    nw-consecutive-window span of ONE program, so programs must be few
+    enough that nnz / (P * nwin) * nw ~ 1.5 * 128 (measured: rb=256 on a
+    262k^2 40-avg matrix leaves ~19 nz per span -> pad 7.1; the 32k
+    headline at the same rb fills fine).  Larger rb raises the row one-hot
+    cost (rbs = rb/ngrp sublanes), so this is a floor-filling heuristic,
+    not a universal optimum — the tuner sweeps around it."""
+    nwin = max(-(-n // 128), 1)
+    p = max(1, int(nnz * nw // (192 * nwin)))
+    rb = max(256, -(-m // p))
+    rb = -(-rb // (8 * ngrp)) * (8 * ngrp)
+    return min(rb, 8192)
+
+
 def _rank_within_groups(key: np.ndarray) -> np.ndarray:
     """rank of each element within its equal-key group (stable)."""
     n = key.size
@@ -168,50 +184,58 @@ def _dgt_walk(bucket_arr, cols, lrow_arr, vals, *, n_buckets, col_span,
     cnt = np.bincount(run_id * ncls + cls_s,
                       minlength=n_runs * ncls).reshape(n_runs, ncls)
 
-    take = np.zeros((n_runs, ncls), dtype=np.int64)
-    open_tile = np.zeros(n_runs, dtype=np.int64)
-    open_fill = np.zeros((n_runs, ncls), dtype=np.int64)
-    join_pos = np.zeros(n_runs, dtype=np.int64)
-    new_base = np.zeros(n_runs, dtype=np.int64)
-    fresh_n = np.zeros(n_runs, dtype=np.int64)
-    tot_tiles = np.zeros(n_buckets, dtype=np.int64)
-    cur_b = -1
-    room = None
-    open_w = -1  # window base of the carried open tile
-    ntiles = 0
-    for r in range(n_runs):
-        b = run_b[r]
-        if b != cur_b:
-            if cur_b >= 0:
-                tot_tiles[cur_b] = ntiles
-            cur_b = b
-            ntiles = 0
-            room = None
-            open_w = -1
-        c = cnt[r]
-        w = int(run_win[r])
-        joined = (room is not None and 0 <= w - open_w < nw
-                  and int(np.minimum(room, c).sum()) > 0)
-        if joined:
-            t = np.minimum(room, c)
-            take[r] = t
-            open_tile[r] = ntiles - 1
-            open_fill[r] = cap - room
-            join_pos[r] = w - open_w
-            room = room - t
-        else:
-            t = np.zeros(ncls, dtype=np.int64)
-        left = c - t
-        lmax = int(left.max())
-        if lmax > 0:
-            n_new = -(-lmax // cap)
-            new_base[r] = ntiles
-            fresh_n[r] = n_new
-            ntiles += n_new
-            room = cap - np.maximum(left - (n_new - 1) * cap, 0)
-            open_w = w
-    if cur_b >= 0:
-        tot_tiles[cur_b] = ntiles
+    from tpusparse import native
+
+    walked = native.dgt_runs(run_b, run_win, cnt, cap, nw, n_buckets) \
+        if native.available() else None
+    if walked is not None:
+        (take, open_tile, open_fill, join_pos, new_base, fresh_n,
+         tot_tiles) = walked
+    else:
+        take = np.zeros((n_runs, ncls), dtype=np.int64)
+        open_tile = np.zeros(n_runs, dtype=np.int64)
+        open_fill = np.zeros((n_runs, ncls), dtype=np.int64)
+        join_pos = np.zeros(n_runs, dtype=np.int64)
+        new_base = np.zeros(n_runs, dtype=np.int64)
+        fresh_n = np.zeros(n_runs, dtype=np.int64)
+        tot_tiles = np.zeros(n_buckets, dtype=np.int64)
+        cur_b = -1
+        room = None
+        open_w = -1  # window base of the carried open tile
+        ntiles = 0
+        for r in range(n_runs):
+            b = run_b[r]
+            if b != cur_b:
+                if cur_b >= 0:
+                    tot_tiles[cur_b] = ntiles
+                cur_b = b
+                ntiles = 0
+                room = None
+                open_w = -1
+            c = cnt[r]
+            w = int(run_win[r])
+            joined = (room is not None and 0 <= w - open_w < nw
+                      and int(np.minimum(room, c).sum()) > 0)
+            if joined:
+                t = np.minimum(room, c)
+                take[r] = t
+                open_tile[r] = ntiles - 1
+                open_fill[r] = cap - room
+                join_pos[r] = w - open_w
+                room = room - t
+            else:
+                t = np.zeros(ncls, dtype=np.int64)
+            left = c - t
+            lmax = int(left.max())
+            if lmax > 0:
+                n_new = -(-lmax // cap)
+                new_base[r] = ntiles
+                fresh_n[r] = n_new
+                ntiles += n_new
+                room = cap - np.maximum(left - (n_new - 1) * cap, 0)
+                open_w = w
+        if cur_b >= 0:
+            tot_tiles[cur_b] = ntiles
 
     nc_arr = np.maximum(-(-tot_tiles // T), 1)
     nc = max(int(nc_arr.max()) if n_buckets else 1, 1)

@@ -277,3 +277,41 @@ def span_pack_aligned(cols_sorted, lrow_sorted, vals_sorted, p_starts,
     if want_dest:
         return c0, out_cols, out_lrow, out_vals, nc_arr, dest
     return c0, out_cols, out_lrow, out_vals, nc_arr
+
+
+def dgt_runs(run_b, run_win, cnt, cap: int, nw: int, n_buckets: int):
+    """The dgt greedy run walk (kernels/dgt_gather._dgt_walk inner loop) in
+    native code — the one Python-loop hot spot of the dgt packer (a 10M-nnz
+    262k-row pack walks ~2M runs).  Returns the per-run placement arrays or
+    None without the native lib."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "ts_dgt_runs"):
+        return None
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    if not getattr(lib, "_dgt_runs_bound", False):
+        lib.ts_dgt_runs.restype = None
+        lib.ts_dgt_runs.argtypes = [i64p, i64p, i64p, ctypes.c_int64,
+                                    ctypes.c_int64, ctypes.c_int64,
+                                    ctypes.c_int64, ctypes.c_int64,
+                                    i64p, i64p, i64p, i64p, i64p, i64p, i64p]
+        lib._dgt_runs_bound = True
+    run_b = np.ascontiguousarray(run_b, dtype=np.int64)
+    run_win = np.ascontiguousarray(run_win, dtype=np.int64)
+    cnt = np.ascontiguousarray(cnt, dtype=np.int64)
+    n_runs, ncls = cnt.shape
+    take = np.zeros((n_runs, ncls), dtype=np.int64)
+    open_tile = np.zeros(n_runs, dtype=np.int64)
+    open_fill = np.zeros((n_runs, ncls), dtype=np.int64)
+    join_pos = np.zeros(n_runs, dtype=np.int64)
+    new_base = np.zeros(n_runs, dtype=np.int64)
+    fresh_n = np.zeros(n_runs, dtype=np.int64)
+    tot_tiles = np.zeros(max(n_buckets, 1), dtype=np.int64)
+    lib.ts_dgt_runs(
+        run_b.ctypes.data_as(i64p), run_win.ctypes.data_as(i64p),
+        cnt.ctypes.data_as(i64p), n_runs, ncls, cap, nw, n_buckets,
+        take.ctypes.data_as(i64p), open_tile.ctypes.data_as(i64p),
+        open_fill.ctypes.data_as(i64p), join_pos.ctypes.data_as(i64p),
+        new_base.ctypes.data_as(i64p), fresh_n.ctypes.data_as(i64p),
+        tot_tiles.ctypes.data_as(i64p),
+    )
+    return take, open_tile, open_fill, join_pos, new_base, fresh_n, tot_tiles

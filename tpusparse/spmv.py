@@ -70,10 +70,10 @@ def spmv_fn(mat: CooMatrix, method: str = "auto"):
         # geometry (static-residue masks) is structurally cheaper per nz
         # than the dedicated 64-group kt=1 kernel; the price is an X
         # resident of N*8*4 bytes, so it gates on VMEM.
-        from tpusparse.kernels.dgt_gather import dgt_spmv, pack_dgt
+        from tpusparse.kernels.dgt_gather import auto_rb_dgt, dgt_spmv, pack_dgt
 
         assert n * 32 <= 9 * 1024 * 1024, "x3 resident would bust VMEM"
-        rb = 256 if m >= 256 else max(8, 8 * (-(-m // 8)))
+        rb = auto_rb_dgt(m, n, mat.nnz) if m >= 256 else max(8, 8 * (-(-m // 8)))
         fmt = pack_dgt(mat, rb=rb, g=512, kt=8, mode="fp32x2", resid=True,
                        nw=4)
 
@@ -143,11 +143,11 @@ def spmv_multi_fn(mat: CooMatrix, n_vectors: int = 8):
     ONE K=m SpMM call (the common production shape; VERDICT r2 #8).  The
     kernel cost per nz is that of K=8 SpMM, so per-vector throughput is
     ~m times the single-vector rate."""
-    from tpusparse.kernels.dgt_gather import dgt_spmm, pack_dgt
+    from tpusparse.kernels.dgt_gather import auto_rb_dgt, dgt_spmm, pack_dgt
 
     m, n = mat.shape
     assert 1 <= n_vectors <= 8, "pack with ktile > 8 for more vectors"
-    rb = 256 if m >= 256 else max(8, 8 * (-(-m // 8)))
+    rb = auto_rb_dgt(m, n, mat.nnz) if m >= 256 else max(8, 8 * (-(-m // 8)))
     fmt = pack_dgt(mat, rb=rb, g=512, kt=8, mode="fp32x2", resid=True, nw=4)
 
     def fn(xs):

@@ -144,7 +144,15 @@ def default_candidates(mat: CooMatrix, k: int, *, full: bool = False) -> list[Sc
     # less padding; the min-time loop picks per matrix
     if 2 <= kt_dg <= 32 and k <= 128 and \
             mat.shape[1] * max(kt_dg, 8) * 4 <= 6 * 1024 * 1024:
+        from tpusparse.kernels.dgt_gather import auto_rb_dgt, dgt_geometry
+
+        _, ngrp_dgt = dgt_geometry(max(kt_dg, 8), "fp32x2")
+        rb_auto = auto_rb_dgt(mat.shape[0], mat.shape[1], mat.nnz,
+                              ngrp=ngrp_dgt)
         dgt_cfgs = [(True, 256, 4), (False, 256, 8)]
+        if rb_auto > 512:
+            # sparse per-window regimes need bigger programs for tile fill
+            dgt_cfgs.insert(0, (True, rb_auto, 4))
         if full:
             dgt_cfgs += [(True, 512, 4), (True, 256, 8), (False, 512, 8),
                          (True, 1024, 2)]
