@@ -58,29 +58,42 @@ def time_fn(fn: Callable, x, *, iters: int = 20, warmup: int = 2) -> float:
         return (x + jnp.asarray(i * 1e-6 + salt * 1e-5, x.dtype)).block_until_ready()
 
     try:
-        jax.device_get(short(perturb(0)))  # compile + warm
-        jax.device_get(long(perturb(0)))
-    except Exception:
-        # chain jit re-traces fn, embedding closed-over arrays as HLO
-        # constants; huge formats overflow the remote-compile payload.
-        # Fall back to loop timing with overhead subtraction.
-        return _time_loop(fn, x, iters=max(iters, 8))
-    samples = []
-    for i in range(1, 4):
-        xi = perturb(i)
-        t0 = time.perf_counter()
-        jax.device_get(short(xi))
-        t1 = time.perf_counter()
-        jax.device_get(long(xi))
-        t2 = time.perf_counter()
-        samples.append(((t2 - t1) - (t1 - t0)) / iters)
-    sec = float(np.median(samples))
-    # fast kernels drown in round-trip jitter: retry once with enough
-    # iterations that the slope spans >= ~4ms of device time
-    if sec * iters < 2e-3 and iters < 256:
-        want_iters = int(min(max(4e-3 / max(sec, 2e-6), 2 * iters), 256))
-        return time_fn(fn, x, iters=want_iters, warmup=0)
-    return max(sec, 1e-9)
+        try:
+            jax.device_get(short(perturb(0)))  # compile + warm
+            jax.device_get(long(perturb(0)))
+        except Exception:
+            # chain jit re-traces fn, embedding closed-over arrays as HLO
+            # constants; huge formats overflow the remote-compile payload.
+            # Fall back to loop timing with overhead subtraction.
+            return _time_loop(fn, x, iters=max(iters, 8))
+        samples = []
+        for i in range(1, 4):
+            xi = perturb(i)
+            t0 = time.perf_counter()
+            jax.device_get(short(xi))
+            t1 = time.perf_counter()
+            jax.device_get(long(xi))
+            t2 = time.perf_counter()
+            samples.append(((t2 - t1) - (t1 - t0)) / iters)
+        sec = float(np.median(samples))
+        # fast kernels drown in round-trip jitter: retry once with enough
+        # iterations that the slope spans >= ~4ms of device time
+        if sec * iters < 2e-3 and iters < 256:
+            want_iters = int(min(max(4e-3 / max(sec, 2e-6), 2 * iters), 256))
+            return time_fn(fn, x, iters=want_iters, warmup=0)
+        return max(sec, 1e-9)
+    finally:
+        # The chain jit bakes fn's closed-over arrays (packed formats) into
+        # the executable as device constants, and the global pjit cache
+        # holds them: a multi-hour benchmark process accumulates GBs of
+        # dead format constants in HBM until the backend reports
+        # RESOURCE_EXHAUSTED (observed in the round-3 suite run).  Each
+        # chain is single-use — drop its executables now.
+        for chained in (short, long):
+            try:
+                chained.clear_cache()
+            except Exception:
+                pass
 
 
 def _time_loop(fn: Callable, x, *, iters: int) -> float:
