@@ -290,22 +290,32 @@ def run_suite(quick: bool = False, out_path: str = "BENCH_SUITE.jsonl",
         xv = np.random.default_rng(4).standard_normal(mv.shape[1]).astype(np.float32)
         # multi-vector SpMV: m independent vectors through ONE K=8 SpMM
         # call (VERDICT r2 #8 — the production shape; per-vector rate)
-        try:
-            from tpusparse.spmv import spmv_multi_fn
+        from tpusparse.spmv import spmv_multi_fn
 
+        def _multi_row(mmat, tag):
             nv = 8
             xm = np.random.default_rng(6).standard_normal(
-                (mv.shape[1], nv)).astype(np.float32)
-            mfn = spmv_multi_fn(mv, n_vectors=nv)
+                (mmat.shape[1], nv)).astype(np.float32)
+            mfn = spmv_multi_fn(mmat, n_vectors=nv)
             np.asarray(mfn(jnp.asarray(xm)))
             msec = time_fn(mfn, jnp.asarray(xm), iters=10)
             emit({
-                "bench": "spmv_multi/dgt_k8", "k": nv, "nnz": mv.nnz,
+                "bench": f"spmv_multi/dgt_k8{tag}", "k": nv, "nnz": mmat.nnz,
+                "n": mmat.shape[1],
                 # aggregate = nv vectors' worth of nz per second (compare
                 # against nv * the single-vector Gnnz/s rows below)
-                "gnnz_per_s_aggregate": round(nv * mv.nnz / msec / 1e9, 3),
-                "gnnz_per_s_call": round(mv.nnz / msec / 1e9, 3),
+                "gnnz_per_s_aggregate": round(nv * mmat.nnz / msec / 1e9, 3),
+                "gnnz_per_s_call": round(mmat.nnz / msec / 1e9, 3),
             })
+
+        try:
+            _multi_row(mv, "")
+            if not quick:
+                # the small-N regime: the resident X is cheap, so fusing m
+                # vectors into one K=8 call keeps the full kernel rate
+                mv2 = builder.power_law_coo(65536, 65536,
+                                            avg_nnz_per_row=40.0, seed=9)
+                _multi_row(mv2, "_65k")
         except Exception as e:
             emit({"bench": "spmv_multi/dgt_k8", "error": f"{type(e).__name__}: {e}"})
         for method in ("dg", "dgt8", "radix", "span"):
