@@ -60,10 +60,15 @@ def test_spgemm_runner_reuse():
             rtol=1e-4, atol=1e-4)
     _RUNNER_CACHE.clear()
     b = builder.power_law_coo(96, 130, avg_nnz_per_row=4.0, seed=12)
-    spgemm(a, b, tile_cols=64)
+    # method='device': the auto route sends sub-crossover products to host
+    # scipy (no runner built) — this test is about device-runner reuse
+    spgemm(a, b, tile_cols=64, method="device")
     n_runners = len(_RUNNER_CACHE)
-    spgemm(a, b, tile_cols=64)  # same A: reuses the cached runner
+    spgemm(a, b, tile_cols=64, method="device")  # same A: cached runner
     assert n_runners == 1 and len(_RUNNER_CACHE) == 1
+    # and the auto route on this tiny product is host (documented crossover)
+    from tpusparse.spgemm import HOST_CROSSOVER_FLOPS, spgemm_flops
+    assert spgemm_flops(a, b) < HOST_CROSSOVER_FLOPS
 
 
 def test_spgemm_tuned_a_plan():
@@ -175,7 +180,7 @@ def test_spgemm_device_resparsify_matches_scipy_style():
 
     a = builder.power_law_coo(150, 120, avg_nnz_per_row=4.0, seed=5)
     b = builder.power_law_coo(120, 200, avg_nnz_per_row=4.0, seed=6)
-    c = spgemm(a, b, tile_cols=64)
+    c = spgemm(a, b, tile_cols=64, method="device")
     want = a.to_dense(np.float64) @ b.to_dense(np.float64)
     got = c.to_dense(np.float64)
     # default plan precision is fp32x2 (~2e-3 relative class)
