@@ -54,6 +54,13 @@ def main():
 
     log(f"backend: {jax.default_backend()} devices: {jax.devices()}")
 
+    # per-session machine-window calibration (VERDICT r3 #3): recorded in
+    # the output row so round-over-round headlines are comparable
+    from tpusparse.bench.microbench import session_probe
+
+    probe = session_probe()
+    log(f"session probe: {probe}")
+
     # IG5-18-class workload: power-law graph matrix, K=8 fp32
     M = N = 32768
     K = 8
@@ -83,9 +90,11 @@ def main():
                               unroll=u, ktile=8)
             ),
         ))
-    for resid, rb, nw in ((True, 256, 4), (False, 256, 8), (True, 512, 4)):
+    # round-4: multi-open-tile walk (padding 1.42 -> 1.13 at rb=512 nw=8);
+    # fullrow/repmul/wide scatter variants are refuted (PERF.md round 4)
+    for resid, rb, nw in ((True, 512, 8), (True, 256, 4), (True, 256, 8)):
         candidates.append((
-            f"dgt resid={int(resid)} rb={rb} nw={nw} g=512",
+            f"dgt resid={int(resid)} rb={rb} nw={nw} g=512 multi",
             lambda resid=resid, rb=rb, nw=nw: build_plan(
                 mat, Schedule(family="dgt_span", rb=rb, nw=nw, resid=resid,
                               g=512, unroll=8, ktile=8)
@@ -149,12 +158,18 @@ def main():
     work, sec, g = best
     vs = sec and (bsec / sec if np.isfinite(bsec) else float("nan"))
     log(f"best: work={work} {g:.2f} GFLOP/s, speedup vs BCOO: {vs:.2f}x")
-    print(json.dumps({
+    out = {
         "metric": "spmm_fp32_powerlaw32k_k8_gflops",
         "value": round(g, 3),
         "unit": "GFLOP/s",
         "vs_baseline": round(vs, 3) if np.isfinite(vs) else None,
-    }))
+        "winner": work,
+    }
+    if probe.get("metric") == "session_probe":
+        out["probe"] = {k: probe[k] for k in
+                        ("stream_gbs", "mxu_tflops", "norm", "norm_stream")}
+        out["value_window_normalized"] = round(g * probe["norm"], 3)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -116,7 +116,7 @@ def _synthetic_radix(p, nc, g, rb, S, kt, mode, n, seed=0):
         shape=(p * rb, n), nnz_real=p * nc * g)
 
 
-def _synthetic_dgt(p, nc, g, rb, kt, mode, nw, n, seed=0):
+def _synthetic_dgt(p, nc, g, rb, kt, mode, nw, n, seed=0, resid=True):
     """Uniform full dgt chunks (timing only; vals random)."""
     import jax.numpy as jnp
 
@@ -129,8 +129,9 @@ def _synthetic_dgt(p, nc, g, rb, kt, mode, nw, n, seed=0):
     nwin = n // 128
     wins = rng.integers(0, max(nwin - nw, 1), (p, nc, T)).astype(np.int32)
     sel = rng.integers(0, nw, (p, nc, g))
-    cols = (rng.integers(0, 128, (p, nc, g)) | (sel << 7)).astype(np.int32)
-    lrw = rng.integers(0, rbs, (p, nc, g)).astype(np.int32)
+    lane = rng.integers(0, 128, (p, nc, g))
+    cols = (lane | (sel << 7)).astype(np.int32)
+    lrw = rng.integers(0, rbs if resid else rb, (p, nc, g)).astype(np.int32)
     vals = rng.standard_normal((p, nc, g)).astype(np.float32)
     return DgtFormat(
         wins=jnp.asarray(wins), cols=jnp.asarray(cols), lrw=jnp.asarray(lrw),
@@ -138,10 +139,11 @@ def _synthetic_dgt(p, nc, g, rb, kt, mode, nw, n, seed=0):
         nc_p=jnp.full((p, 1, 1), nc, dtype=jnp.int32),
         slot_of_origrow=jnp.arange(p * rb, dtype=jnp.int32),
         n_programs=p, n_chunks=nc, chunk_g=g, rb=rb, kt=kt, mode=mode,
-        resid=True, nw=nw, shape=(p * rb, n), nnz_real=p * nc * g)
+        resid=resid, nw=nw, shape=(p * rb, n), nnz_real=p * nc * g)
 
 
-def measure_chunk_costs(quick: bool = False) -> list[dict]:
+def measure_chunk_costs(quick: bool = False,
+                        sections=("span", "radix", "dgt", "v4")) -> list[dict]:
     """Time the span / radix / dgt chunk loops on synthetic uniform formats.
     us/chunk isolates the structural per-chunk cost (the padding factor is
     exactly 1 here).  The dgt rows include the streamed-rowhot variant
@@ -161,6 +163,10 @@ def measure_chunk_costs(quick: bool = False) -> list[dict]:
                   (1024, 128, 512, 1)]
     if quick:
         span_cfgs, radix_cfgs = span_cfgs[:1], radix_cfgs[:2]
+    if "span" not in sections:
+        span_cfgs = []
+    if "radix" not in sections:
+        radix_cfgs = []
     for rb, ct, g, kt in span_cfgs:
         fmt = _synthetic_span(p, nc, g, rb, ct, n)
         x = jnp.asarray(np.random.default_rng(2).standard_normal((n, kt)),
@@ -189,12 +195,15 @@ def measure_chunk_costs(quick: bool = False) -> list[dict]:
                 (512, 512, 8, 4, False), (256, 512, 8, 8, False)]
     if quick:
         dgt_cfgs = dgt_cfgs[:2]
+    if "dgt" not in sections:
+        dgt_cfgs = []
     for rb, g, kt, nw, stream in dgt_cfgs:
         fmt = _synthetic_dgt(p, nc, g, rb, kt, "fp32x2", nw, n)
         rh = pack_rowhot(fmt) if stream else None
         x = jnp.asarray(np.random.default_rng(2).standard_normal((n, kt)),
                         jnp.float32)
-        sec = time_fn(lambda xv: dgt_spmm(fmt, xv, rowhot=rh, unroll=8),
+        sec = time_fn(lambda xv: dgt_spmm(fmt, xv, rowhot=rh, unroll=8,
+                                          fold=False),
                       x, iters=10)
         us = sec / (p * nc) * 1e6
         rows.append({
@@ -203,6 +212,46 @@ def measure_chunk_costs(quick: bool = False) -> list[dict]:
             "us_per_chunk": round(us, 3),
             "cyc_per_nz": round(us * 1e-6 * V5E_CLOCK_HZ / g, 3),
         })
+        _log(rows[-1])
+    # round-4 variants (VERDICT r3 #2): in-kernel fold + the fullrow
+    # scatter (psel option (c)).  Options (a) streamed-rowhot and (b)
+    # repmul/pltpu.repeat are refuted — (a) by measurement (0.30 vs 0.18
+    # cyc/nz above), (b) by the Mosaic compiler (pltpu.repeat of the
+    # (2kt, G) bf16 c2 crashes tpu_compile_helper on v5e; the wide-span
+    # single gather likewise dies in _gather_lowering_rule — see
+    # kernels/dgt_gather._dgt_fill docstring).
+    v4_cfgs = [
+        # (rb, g, kt, nw, resid, scatter, fold)
+        (256, 512, 8, 4, True, "select", True),    # in-kernel fold alone
+        (256, 512, 8, 8, True, "select", True),    # fold at nw=8
+        (256, 512, 8, 4, True, "fullrow", True),   # psel option (c)
+        (512, 512, 8, 8, False, "fullrow", True),  # fullrow no-resid
+        (256, 512, 8, 8, False, "fullrow", True),
+        (256, 512, 8, 4, False, "fullrow", True),
+    ]
+    if quick:
+        v4_cfgs = v4_cfgs[:3]
+    if "v4" not in sections:
+        v4_cfgs = []
+    for rb, g, kt, nw, resid, scatter, fold in v4_cfgs:
+        fmt = _synthetic_dgt(p, nc, g, rb, kt, "fp32x2", nw, n, resid=resid)
+        x = jnp.asarray(np.random.default_rng(2).standard_normal((n, kt)),
+                        jnp.float32)
+        row = {
+            "metric": "chunk_cost", "kernel": "dgt", "rb": rb, "g": g,
+            "kt": kt, "nw": nw, "resid": resid,
+            "scatter": scatter, "fold": fold,
+        }
+        try:
+            sec = time_fn(lambda xv: dgt_spmm(fmt, xv, unroll=8,
+                                              scatter=scatter, fold=fold),
+                          x, iters=10)
+            us = sec / (p * nc) * 1e6
+            row.update(us_per_chunk=round(us, 3),
+                       cyc_per_nz=round(us * 1e-6 * V5E_CLOCK_HZ / g, 3))
+        except Exception as e:  # a variant a compiler rejects is a DATUM
+            row["error"] = f"{type(e).__name__}: {str(e)[:200]}"
+        rows.append(row)
         _log(rows[-1])
     return rows
 
@@ -241,6 +290,41 @@ def measure_index_compression(size: int = 8192) -> list[dict]:
         })
         _log(rows[-1])
     return rows
+
+
+# The window the round-2/3 narrative numbers were measured in (MICROBENCH
+# r2 rows): the anchor for cross-session normalization.  Chosen once and
+# frozen — normalized numbers answer "what would this run have measured in
+# the round-2 window", making round-over-round headlines comparable.
+REF_WINDOW = {"stream_gbs": 454.6, "mxu_tflops": 187.2}
+
+
+def session_probe() -> dict:
+    """~5 s HBM-stream + MXU probe recorded at the top of every bench
+    session (VERDICT r3 #3): identical configs measured 0.38 -> 0.67 ms in
+    machine windows hours apart, so absolute GF/s numbers are meaningless
+    across sessions without a same-session calibration.  Reuses the
+    microbench shapes so the remote compile cache is warm.  Returns the
+    measured numbers plus ``norm`` — the factor that window-normalizes a
+    throughput to the REF_WINDOW (compute-bound kernels scale with the MXU
+    clock; both ratios are recorded so either story can be checked)."""
+    import jax
+
+    if jax.default_backend() != "tpu":
+        return {"backend": jax.default_backend(), "norm": 1.0}
+    hbm = measure_hbm()
+    mxu = measure_mxu()
+    stream = float(hbm["stream_gbs"])
+    tflops = float(mxu["tflops"])
+    return {
+        "metric": "session_probe",
+        "stream_gbs": stream,
+        "reduce_gbs": float(hbm["reduce_gbs"]),
+        "mxu_tflops": tflops,
+        "ref_window": dict(REF_WINDOW),
+        "norm": round(REF_WINDOW["mxu_tflops"] / max(tflops, 1e-9), 4),
+        "norm_stream": round(REF_WINDOW["stream_gbs"] / max(stream, 1e-9), 4),
+    }
 
 
 def roofline_bandwidth_gbs(refresh: bool = False) -> float:

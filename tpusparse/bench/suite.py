@@ -56,6 +56,11 @@ def run_suite(quick: bool = False, out_path: str = "BENCH_SUITE.jsonl",
         rows.append(row)
         print(json.dumps(row), flush=True)
 
+    # per-session machine-window calibration (VERDICT r3 #3)
+    from tpusparse.bench.microbench import session_probe
+
+    emit(session_probe())
+
     def sel(tag):
         return only is None or only == tag
 
@@ -292,16 +297,17 @@ def run_suite(quick: bool = False, out_path: str = "BENCH_SUITE.jsonl",
         # call (VERDICT r2 #8 — the production shape; per-vector rate)
         from tpusparse.spmv import spmv_multi_fn
 
-        def _multi_row(mmat, tag):
+        def _multi_row(mmat, tag, col_split=None):
             nv = 8
             xm = np.random.default_rng(6).standard_normal(
                 (mmat.shape[1], nv)).astype(np.float32)
-            mfn = spmv_multi_fn(mmat, n_vectors=nv)
+            mfn = spmv_multi_fn(mmat, n_vectors=nv, col_split=col_split)
             np.asarray(mfn(jnp.asarray(xm)))
             msec = time_fn(mfn, jnp.asarray(xm), iters=10)
             emit({
                 "bench": f"spmv_multi/dgt_k8{tag}", "k": nv, "nnz": mmat.nnz,
                 "n": mmat.shape[1],
+                "col_split": getattr(mfn, "n_splits", 1),
                 # aggregate = nv vectors' worth of nz per second (compare
                 # against nv * the single-vector Gnnz/s rows below)
                 "gnnz_per_s_aggregate": round(nv * mmat.nnz / msec / 1e9, 3),
@@ -309,7 +315,12 @@ def run_suite(quick: bool = False, out_path: str = "BENCH_SUITE.jsonl",
             })
 
         try:
+            # auto col_split (VERDICT r3 #5): the 262k X splits into <=4MB
+            # resident ranges; the forced 1-split row is the VMEM-gated
+            # control the r3 8.89 Gnnz/s row measured
             _multi_row(mv, "")
+            if not quick:
+                _multi_row(mv, "_nosplit", col_split=1)
             if not quick:
                 # the small-N regime: the resident X is cheap, so fusing m
                 # vectors into one K=8 call keeps the full kernel rate
@@ -498,6 +509,11 @@ def run_suite(quick: bool = False, out_path: str = "BENCH_SUITE.jsonl",
             ("real/docterm_pysrc", lambda: realdata.docterm_coo(
                 vocab_size=8192 if quick else 32768,
                 max_files=1000 if quick else 8000)),
+            # round-4 (VERDICT r3 #6): the machine's Python module-import
+            # graph — web-Google-class directed structure (power-law
+            # in-degree hubs, short uniform out-degree rows)
+            ("real/imports_pysrc", lambda: realdata.import_graph_coo(
+                max_files=2000 if quick else 30000)),
         ]
         for name, make in real_mats:
             try:

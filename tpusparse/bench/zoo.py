@@ -46,6 +46,13 @@ def run_zoo(quick: bool = False, ks=(8, 64), out_path: str = "BENCH_ZOO.jsonl",
     from tpusparse.tune import tune
 
     rows = []
+    # per-session machine-window calibration (VERDICT r3 #3)
+    from tpusparse.bench.microbench import session_probe
+
+    probe = session_probe()
+    probe["ts"] = time.time()
+    rows.append(probe)
+    print(json.dumps(probe), flush=True)
     for name, mat in zoo(quick).items():
         for k in ks:
             x = np.random.default_rng(0).standard_normal(
