@@ -417,4 +417,108 @@ extern "C" void ts_dgt_runs(
   if (cur_b >= 0) tot_tiles[cur_b] = ntiles;
 }
 
+// Multi-open-tile dgt walk (kernels/dgt_gather._dgt_walk_multi): every tile
+// with free room stays open while its window base is within nw reach, so
+// later windows' overflow classes top up earlier tiles (round-4 padding
+// fix).  Emits (run, cls, tile, fill, cnt, sel) segments consumed in
+// rank order per (run, cls), plus per-fresh-tile window bases.  Returns 0
+// on success, 1 if seg_cap/wins_cap would overflow (caller falls back to
+// the Python walker).
+extern "C" int64_t ts_dgt_runs_multi(
+    const int64_t* run_b, const int64_t* run_win, const int64_t* cnt,
+    int64_t n_runs, int64_t ncls, int64_t cap, int64_t nw, int64_t n_buckets,
+    int64_t max_open, int64_t seg_cap,
+    int64_t* seg_run, int64_t* seg_cls, int64_t* seg_tile, int64_t* seg_fill,
+    int64_t* seg_cnt, int64_t* seg_sel,
+    int64_t* wins_b, int64_t* wins_t, int64_t* wins_w,
+    int64_t* tot_tiles, int64_t* counts) {
+  (void)n_buckets;
+  struct Open {
+    int64_t base_w, tile;
+    std::vector<int64_t> room;
+  };
+  std::vector<Open> opens;
+  std::vector<int64_t> left(ncls);
+  int64_t cur_b = -1, ntiles = 0, ns = 0, nwn = 0;
+  for (int64_t r = 0; r < n_runs; ++r) {
+    int64_t b = run_b[r];
+    int64_t w = run_win[r];
+    if (b != cur_b) {
+      if (cur_b >= 0) tot_tiles[cur_b] = ntiles;
+      cur_b = b;
+      ntiles = 0;
+      opens.clear();
+    }
+    int64_t left_any = 0;
+    for (int64_t k = 0; k < ncls; ++k) {
+      left[k] = cnt[r * ncls + k];
+      left_any += left[k];
+    }
+    // drop unreachable / full tiles
+    size_t kept = 0;
+    for (size_t i = 0; i < opens.size(); ++i) {
+      int64_t rs = 0;
+      for (int64_t k = 0; k < ncls; ++k) rs += opens[i].room[k];
+      if (opens[i].base_w > w - nw && rs > 0) opens[kept++] = opens[i];
+    }
+    opens.resize(kept);
+    for (auto& o : opens) {
+      if (!left_any) break;
+      for (int64_t k = 0; k < ncls; ++k) {
+        int64_t t = std::min(o.room[k], left[k]);
+        if (t <= 0) continue;
+        if (ns >= seg_cap) return 1;
+        seg_run[ns] = r;
+        seg_cls[ns] = k;
+        seg_tile[ns] = o.tile;
+        seg_fill[ns] = cap - o.room[k];
+        seg_cnt[ns] = t;
+        seg_sel[ns] = w - o.base_w;
+        ++ns;
+        o.room[k] -= t;
+        left[k] -= t;
+        left_any -= t;
+      }
+    }
+    int64_t lmax = 0;
+    for (int64_t k = 0; k < ncls; ++k) lmax = std::max(lmax, left[k]);
+    if (lmax > 0) {
+      int64_t n_new = (lmax + cap - 1) / cap;
+      for (int64_t j = 0; j < n_new; ++j) {
+        Open o;
+        o.base_w = w;
+        o.tile = ntiles + j;
+        o.room.assign(ncls, cap);
+        for (int64_t k = 0; k < ncls; ++k) {
+          int64_t take_c = std::min(cap, std::max<int64_t>(left[k] - j * cap, 0));
+          if (take_c > 0) {
+            if (ns >= seg_cap) return 1;
+            seg_run[ns] = r;
+            seg_cls[ns] = k;
+            seg_tile[ns] = o.tile;
+            seg_fill[ns] = 0;
+            seg_cnt[ns] = take_c;
+            seg_sel[ns] = 0;
+            ++ns;
+            o.room[k] = cap - take_c;
+          }
+        }
+        opens.push_back(std::move(o));
+        if (nwn >= seg_cap) return 1;
+        wins_b[nwn] = b;
+        wins_t[nwn] = ntiles + j;
+        wins_w[nwn] = w;
+        ++nwn;
+      }
+      ntiles += n_new;
+      if ((int64_t)opens.size() > max_open)
+        opens.erase(opens.begin(), opens.end() - max_open);
+    }
+  }
+  if (cur_b >= 0) tot_tiles[cur_b] = ntiles;
+  counts[0] = ns;
+  counts[1] = nwn;
+  return 0;
+}
+
 }  // extern "C"

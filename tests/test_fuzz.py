@@ -36,9 +36,14 @@ def _random_matrix(rng):
 
 
 def _random_schedule(rng, mat):
-    fam = ["span_onehot", "tile_onehot", "stripe_total", "nnz_segment",
-           "dense", "span_colsplit", "bucketed", "radix_span", "brick_ell",
-           "stripe_nested", "dg_span", "dgt_span"][int(rng.integers(0, 12))]
+    # all 15 schedule families (VERDICT r3 #8): the gated ones
+    # (hybrid_cols, block_ell, dense, bucketed) have data-dependent
+    # routing that only fuzz exercises
+    fams = ["span_onehot", "tile_onehot", "stripe_total", "nnz_segment",
+            "dense", "span_colsplit", "bucketed", "radix_span", "brick_ell",
+            "stripe_nested", "dg_span", "dgt_span", "segment_span",
+            "block_ell", "hybrid_cols"]
+    fam = fams[int(rng.integers(0, len(fams)))]
     rb = int(2 ** rng.integers(4, 8))
     ct = int(2 ** rng.integers(5, 9))
     g = int(2 ** rng.integers(3, 7))
@@ -69,6 +74,19 @@ def _random_schedule(rng, mat):
         kw["resid"] = bool(rng.integers(0, 2))
         kw["ktile"] = [8, 16, 32][int(rng.integers(0, 3))]
         kw["precision"] = ["fp32x2", "bf16"][int(rng.integers(0, 2))]
+        # round-4 variants: walk, wide encoding, scatter kernel
+        kw["walk"] = ["multi", "single"][int(rng.integers(0, 2))]
+        kw["scatter"] = ["select", "fullrow"][int(rng.integers(0, 2))]
+    if fam == "segment_span":
+        kw["work_per_block"] = int(2 ** rng.integers(5, 9))
+        kw["precision"] = "fp32x2"
+    if fam == "block_ell":
+        kw["row_interval"] = [64, 128, 256][int(rng.integers(0, 3))]
+        kw["precision"] = ["fp32", "bf16"][int(rng.integers(0, 2))]
+    if fam == "hybrid_cols":
+        kw["hot_cols"] = 128 * int(rng.integers(1, 4))
+        kw["ktile"] = int(2 ** rng.integers(0, 5))
+        kw["precision"] = "fp32"
     if fam == "stripe_nested":
         kw["work_per_block"] = int(2 ** rng.integers(6, 10))
         kw["precision"] = "fp32"

@@ -141,3 +141,33 @@ def test_span_pack_native_matches_python():
     np.testing.assert_array_equal(np.asarray(fmt_native.cols), np.asarray(fmt_py.cols))
     np.testing.assert_array_equal(np.asarray(fmt_native.lrow), np.asarray(fmt_py.lrow))
     np.testing.assert_allclose(np.asarray(fmt_native.vals), np.asarray(fmt_py.vals))
+
+
+def test_dgt_runs_multi_matches_python():
+    """The native multi-open walk must produce bitwise-identical formats to
+    the Python fallback (round-4; the segment emission order is part of the
+    contract — ranks are consumed in segment order)."""
+    import tpusparse.native as nat
+    import tpusparse.kernels.dgt_gather as dgt
+    from tpusparse.io import builder
+
+    assert nat.dgt_runs_multi(
+        np.zeros((1,), np.int64), np.zeros((1,), np.int64),
+        np.ones((1, 8), np.int64), 16, 4, 1, 8) is not None, \
+        "native lib lacks ts_dgt_runs_multi"
+    for seed, resid, nw in ((0, True, 4), (1, False, 8), (2, True, 1)):
+        mat = builder.power_law_coo(400, 500, avg_nnz_per_row=7.0, seed=seed)
+        fmt_nat = dgt.pack_dgt(mat, rb=64, g=256, kt=8, resid=resid, nw=nw,
+                               walk="multi")
+        orig = nat.dgt_runs_multi
+        nat.dgt_runs_multi = lambda *a, **k: None
+        try:
+            fmt_py = dgt.pack_dgt(mat, rb=64, g=256, kt=8, resid=resid,
+                                  nw=nw, walk="multi")
+        finally:
+            nat.dgt_runs_multi = orig
+        assert fmt_nat.n_chunks == fmt_py.n_chunks
+        for name in ("wins", "cols", "lrw", "vals"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(fmt_nat, name)),
+                np.asarray(getattr(fmt_py, name)), err_msg=name)

@@ -149,6 +149,168 @@ def _rank_within_groups(key: np.ndarray) -> np.ndarray:
     return rank
 
 
+def _dgt_fill(order, b_s, cols, lrow_arr, vals, gtile, pos, sel, cls_s,
+              wins_b, wins_t, wins_w, tot_tiles, *, n_buckets, ngrp, cap, T,
+              g, resid):
+    """Shared walk tail: turn per-sorted-nz (tile, pos, sel) assignments into
+    the device arrays (col plane encodes lane | sel<<7).
+
+    A wide-span encoding (span-local index sel*128+lane, ONE take_along_axis
+    over the tile's nw*128-lane slice) was built and REFUTED at the Mosaic
+    level: the TPU gather lowering requires indices.shape == operand.shape
+    (lowering.py _gather_lowering_rule), i.e. a lane gather cannot cross the
+    128-lane register — verified on v5e.  The kernel's per-window
+    gather+select tree is the hardware-shaped formulation."""
+    nc_arr = np.maximum(-(-tot_tiles // T), 1)
+    nc = max(int(nc_arr.max()) if n_buckets else 1, 1)
+    lane = cls_s + ngrp * pos if resid else pos
+    chunk = gtile // T
+    slot = (gtile % T) * 128 + lane
+
+    wins_flat = np.zeros(n_buckets * nc * T, dtype=np.int32)
+    if len(wins_t):
+        wins_flat[np.asarray(wins_b) * nc * T + np.asarray(wins_t)] = \
+            np.asarray(wins_w, dtype=np.int32)
+    wins_f = wins_flat.reshape(n_buckets, nc, T)
+
+    cols_f = np.zeros((n_buckets, nc, g), dtype=np.int32)
+    lrw_f = np.zeros((n_buckets, nc, g), dtype=np.int32)
+    vals_f = np.zeros((n_buckets, nc, g), dtype=np.float32)
+    flat = (b_s * nc + chunk) * g + slot
+    cols_f.reshape(-1)[flat] = ((cols[order] % 128) | (sel << 7)).astype(np.int32)
+    lrw_s = lrow_arr[order]
+    lrw_f.reshape(-1)[flat] = ((lrw_s // ngrp) if resid else lrw_s).astype(np.int32)
+    vals_f.reshape(-1)[flat] = vals[order].astype(np.float32)
+    return wins_f, cols_f, lrw_f, vals_f, nc_arr, flat, order
+
+
+def _dgt_walk_multi(bucket_arr, cols, lrow_arr, vals, *, n_buckets, col_span,
+                    ngrp, cap, T, g, nw, resid, max_open=8):
+    """Round-4 walk (VERDICT r3 #1b): tile runs close across MANY window
+    boundaries.  The single-open walk abandons a tile's leftover per-class
+    room the moment a fresh tile is created; here every tile with free room
+    stays open while its window base is still within nw reach of the
+    current run, so later windows' overflow classes top up earlier tiles.
+    Measured effect on the 32k power-law headline: pack padding
+    1.42 -> see PERF.md round-4 table."""
+    nnz = cols.size
+    nwin_mat = int(cdiv(col_span, 128))
+    ncls = ngrp if resid else 1
+    klass = (lrow_arr % ngrp) if resid else np.zeros(nnz, dtype=np.int64)
+    order = np.lexsort((cols, bucket_arr))
+    b_s = bucket_arr[order]
+    win_s = (cols // 128)[order]
+    cls_s = klass[order]
+    run_key = b_s * nwin_mat + win_s
+    uniq, run_id = np.unique(run_key, return_inverse=True)
+    n_runs = uniq.size
+    run_b = uniq // nwin_mat
+    run_win = uniq % nwin_mat
+    cnt = np.bincount(run_id * ncls + cls_s,
+                      minlength=n_runs * ncls).reshape(n_runs, ncls)
+
+    from tpusparse import native
+
+    walked = native.dgt_runs_multi(run_b, run_win, cnt, cap, nw, n_buckets,
+                                   max_open) if native.available() else None
+    if walked is not None:
+        (seg_run, seg_cls, seg_tile, seg_fill, seg_cnt, seg_sel,
+         wins_b, wins_t, wins_w, tot_tiles) = walked
+    else:
+        seg_run, seg_cls, seg_tile, seg_fill, seg_cnt, seg_sel = \
+            ([] for _ in range(6))
+        wins_b, wins_t, wins_w = [], [], []
+        tot_tiles = np.zeros(n_buckets, dtype=np.int64)
+        cur_b = -1
+        opens: list = []   # [window_base, tile_id, room(ncls)]
+        ntiles = 0
+        for r in range(n_runs):
+            b = run_b[r]
+            w = int(run_win[r])
+            if b != cur_b:
+                if cur_b >= 0:
+                    tot_tiles[cur_b] = ntiles
+                cur_b = b
+                ntiles = 0
+                opens = []
+            left = cnt[r].copy()
+            opens = [o for o in opens if o[0] > w - nw and int(o[2].sum()) > 0]
+            for o in opens:
+                if not left.any():
+                    break
+                t = np.minimum(o[2], left)
+                if not t.any():
+                    continue
+                fill = cap - o[2]
+                for c in np.flatnonzero(t):
+                    seg_run.append(r)
+                    seg_cls.append(int(c))
+                    seg_tile.append(o[1])
+                    seg_fill.append(int(fill[c]))
+                    seg_cnt.append(int(t[c]))
+                    seg_sel.append(w - o[0])
+                o[2] = o[2] - t
+                left = left - t
+            lmax = int(left.max())
+            if lmax > 0:
+                n_new = -(-lmax // cap)
+                for j in range(n_new):
+                    tid = ntiles + j
+                    room = np.full(ncls, cap, dtype=np.int64)
+                    for c in range(ncls):
+                        take_c = min(cap, max(int(left[c]) - j * cap, 0))
+                        if take_c > 0:
+                            seg_run.append(r)
+                            seg_cls.append(c)
+                            seg_tile.append(tid)
+                            seg_fill.append(0)
+                            seg_cnt.append(take_c)
+                            seg_sel.append(0)
+                            room[c] = cap - take_c
+                    opens.append([w, tid, room])
+                    wins_b.append(b)
+                    wins_t.append(tid)
+                    wins_w.append(w)
+                ntiles += n_new
+                if len(opens) > max_open:
+                    opens = opens[-max_open:]
+        if cur_b >= 0:
+            tot_tiles[cur_b] = ntiles
+
+    # expand segments to per-nz assignments: nz sorted stably by (run, cls)
+    # align 1:1 with segments sorted stably by (run, cls) and repeated by
+    # their counts — each (run, cls) group's rank order is consumed in
+    # segment-append order (open tiles first, then fresh), like the
+    # single-open walk's rank < take split
+    seg_run = np.asarray(seg_run, dtype=np.int64)
+    seg_cls = np.asarray(seg_cls, dtype=np.int64)
+    seg_tile = np.asarray(seg_tile, dtype=np.int64)
+    seg_fill = np.asarray(seg_fill, dtype=np.int64)
+    seg_cnt = np.asarray(seg_cnt, dtype=np.int64)
+    seg_sel = np.asarray(seg_sel, dtype=np.int64)
+    sord = np.argsort(seg_run * ncls + seg_cls, kind="stable")
+    cnts = seg_cnt[sord]
+    total = int(cnts.sum())
+    assert total == nnz, (total, nnz)
+    nord = np.argsort(run_id * ncls + cls_s, kind="stable")
+    gtile_e = np.repeat(seg_tile[sord], cnts)
+    sel_e = np.repeat(seg_sel[sord], cnts)
+    starts = np.concatenate([[0], np.cumsum(cnts)[:-1]])
+    within = np.arange(total, dtype=np.int64) - np.repeat(starts, cnts)
+    pos_e = np.repeat(seg_fill[sord], cnts) + within
+    gtile = np.empty(nnz, dtype=np.int64)
+    pos = np.empty(nnz, dtype=np.int64)
+    sel = np.empty(nnz, dtype=np.int64)
+    gtile[nord] = gtile_e
+    pos[nord] = pos_e
+    sel[nord] = sel_e
+
+    return _dgt_fill(order, b_s, cols, lrow_arr, vals, gtile, pos, sel,
+                     cls_s, wins_b, wins_t, wins_w, tot_tiles,
+                     n_buckets=n_buckets, ngrp=ngrp, cap=cap, T=T, g=g,
+                     resid=resid)
+
+
 def _dgt_walk(bucket_arr, cols, lrow_arr, vals, *, n_buckets, col_span,
               ngrp, cap, T, g, nw, resid):
     """The dgt chunk walk over arbitrary nz buckets (single-chip: bucket =
@@ -290,6 +452,7 @@ def pack_dgt(
     balance: bool = True,
     deal: str | None = None,
     keep_perm: bool = False,
+    walk: str = "multi",
 ) -> DgtFormat:
     """Pack into DgtFormat.
 
@@ -409,9 +572,16 @@ def pack_dgt(
         p_arr = vr // rb
         lrow_arr = vr % rb
 
-    wins_f, cols_f, lrw_f, vals_f, nc_arr, flat, order = _dgt_walk(
-        p_arr, cols, lrow_arr, np.asarray(vals), n_buckets=p_count,
-        col_span=col_num, ngrp=ngrp, cap=cap, T=T, g=g, nw=nw, resid=resid)
+    assert walk in ("multi", "single"), walk
+    if walk == "multi":
+        wins_f, cols_f, lrw_f, vals_f, nc_arr, flat, order = _dgt_walk_multi(
+            p_arr, cols, lrow_arr, np.asarray(vals), n_buckets=p_count,
+            col_span=col_num, ngrp=ngrp, cap=cap, T=T, g=g, nw=nw,
+            resid=resid)
+    else:
+        wins_f, cols_f, lrw_f, vals_f, nc_arr, flat, order = _dgt_walk(
+            p_arr, cols, lrow_arr, np.asarray(vals), n_buckets=p_count,
+            col_span=col_num, ngrp=ngrp, cap=cap, T=T, g=g, nw=nw, resid=resid)
     nc = cols_f.shape[1]
 
     # pyramid index: row -> one gather position in [y; fold2; fold4; fold8]
@@ -494,8 +664,31 @@ def with_values(fmt: DgtFormat, new_vals) -> DgtFormat:
     )
 
 
-def _dgt_kernel(*refs, nc, g, rbs, ngrp, kt, mode, resid, nw, unroll,
-                stream_rowhot=False):
+def _dgt_kernel(*refs, nc, g, rb, ngrp, kt, mode, resid, nw, unroll,
+                stream_rowhot=False, scatter="select", fold=True):
+    """Round-4 kernel variants (VERDICT r3 #1/#2), all oracle-checked:
+
+    scatter='select'   (r3 baseline) psel = concat([c2]*ngrp) masked by the
+                       loop-invariant class pattern; dot (rbs,G)x(128,G).
+    scatter='fullrow'  the VERDICT's option (c): NO 128-lane replication —
+                       the full-row one-hot (rb, G) contracts directly with
+                       c2 (nhl*kt, G) into an (rb, nhl*kt) accumulator.  The
+                       class masking is free (the row index IS lrw*ngrp +
+                       static lane residue); cost moves into the bigger
+                       rowhot compare.
+    (option (b) — psel via pltpu.repeat * a bf16 0/1 plane instead of
+    concat+select — was REFUTED at the Mosaic level: repeating the
+    (nhl*kt, G) bf16 c2 to 128 sublanes crashes tpu_compile_helper on
+    v5e, verified 2026-08-19.)
+    fold               folds the hi+lo bf16 planes and the (grp, hl, k) ->
+                       (grp, k) lane reorder into ONE in-kernel f32 dot
+                       against a static 0/1 matrix (precision=HIGHEST — the
+                       0/1 operand makes the 6-pass decomposition exact), so
+                       the host epilogue is a pure reshape instead of
+                       reshape+add+transpose materializing full Y twice.
+    (A 'wide' single-gather variant over the tile's nw*128-lane span was
+    refuted at the Mosaic level — see _dgt_fill's docstring.)
+    """
     if stream_rowhot:
         # VERDICT r2 #1 variant (i): the (rbs, G) row one-hot planes are
         # precomputed bf16 at pack time and DMA'd with the chunk instead of
@@ -506,19 +699,35 @@ def _dgt_kernel(*refs, nc, g, rbs, ngrp, kt, mode, resid, nw, unroll,
         wins_ref, cols_ref, lrw_ref, vals_ref, x3_ref, y_ref = refs
         rh_ref = None
     f32, bf16 = jnp.float32, jnp.bfloat16
+    HI = jax.lax.Precision.HIGHEST
     T = g // 128
     rep = kt // 8
     nhl = 2 if mode == "fp32x2" else 1
+    q = nhl * kt
+    rbs = rb // ngrp
     iota_rbs = jax.lax.broadcasted_iota(jnp.int32, (rbs, 1), 0)
-    if resid:
+    if scatter == "fullrow":
+        iota_rb = jax.lax.broadcasted_iota(jnp.int32, (rb, 1), 0)
+        if resid:
+            # slot lane = class + ngrp*pos within its 128-lane tile, and
+            # 128 % ngrp == 0, so the per-slot class is g_index % ngrp
+            laneres = jax.lax.broadcasted_iota(jnp.int32, (1, g), 1) % ngrp
+    elif resid:
         # loop-invariant class pattern: sublane group s//(nhl*kt) vs lane
         # residue g%ngrp — no per-chunk compare against lrow required.
-        sgrp = jax.lax.broadcasted_iota(jnp.int32, (128, g), 0) // (nhl * kt)
+        sgrp = jax.lax.broadcasted_iota(jnp.int32, (128, g), 0) // q
         lres = jax.lax.broadcasted_iota(jnp.int32, (128, g), 1) % ngrp
         static_mask = sgrp == lres
     else:
         lane128 = jax.lax.broadcasted_iota(jnp.int32, (128, 1), 0)
-        lane_grp = lane128 // (nhl * kt)
+        lane_grp = lane128 // q
+    do_fold = fold and nhl == 2 and scatter == "select"
+    if do_fold:
+        # E[s=(grp,hl,k), o=(grp2,k2)] = (grp==grp2)&(k==k2): one HIGHEST
+        # dot folds hi+lo and compacts lanes to (grp, k) row-major order
+        si = jax.lax.broadcasted_iota(jnp.int32, (128, ngrp * kt), 0)
+        oi = jax.lax.broadcasted_iota(jnp.int32, (128, ngrp * kt), 1)
+        efold = ((si // q == oi // kt) & (si % kt == oi % kt)).astype(f32)
 
     def load_tiles(j):
         # ONE scalar-addressed dynamic slice per tile (the tile's nw
@@ -556,16 +765,23 @@ def _dgt_kernel(*refs, nc, g, rbs, ngrp, kt, mode, resid, nw, unroll,
             c2 = jnp.concatenate([phi, plo], axis=0)  # (nhl*kt, G)
         else:
             c2 = p.astype(bf16)
-        psel_pre = jnp.concatenate([c2] * ngrp, axis=0)  # (128, G)
-        if resid:
-            psel = jnp.where(static_mask, psel_pre, bf16(0))
-            if rh_ref is not None:
-                rowhot = rh_ref[0, j]                    # (rbs, G) bf16
+        if scatter == "fullrow":
+            lfull = lrw * ngrp + laneres if resid else lrw
+            rowfull = (iota_rb == lfull).astype(bf16)   # (rb, G)
+            return acc + jax.lax.dot_general(
+                rowfull, c2, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=f32)
+        if True:
+            psel_pre = jnp.concatenate([c2] * ngrp, axis=0)  # (128, G)
+            if resid:
+                psel = jnp.where(static_mask, psel_pre, bf16(0))
+                if rh_ref is not None:
+                    rowhot = rh_ref[0, j]                    # (rbs, G) bf16
+                else:
+                    rowhot = (iota_rbs == lrw).astype(bf16)  # lrw=lrow//ngrp
             else:
-                rowhot = (iota_rbs == lrw).astype(bf16)  # lrw = lrow // ngrp
-        else:
-            psel = jnp.where(lane_grp == lrw % ngrp, psel_pre, bf16(0))
-            rowhot = (iota_rbs == lrw // ngrp).astype(bf16)
+                psel = jnp.where(lane_grp == lrw % ngrp, psel_pre, bf16(0))
+                rowhot = (iota_rbs == lrw // ngrp).astype(bf16)
         return acc + jax.lax.dot_general(
             rowhot, psel, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=f32)
@@ -573,6 +789,8 @@ def _dgt_kernel(*refs, nc, g, rbs, ngrp, kt, mode, resid, nw, unroll,
     def nxt(j):
         return jnp.minimum(j, nc - 1)
 
+    acc0 = (jnp.zeros((rb, q), f32) if scatter == "fullrow"
+            else jnp.zeros((rbs, 128), f32))
     if unroll > 1:
         def body(i, carry):
             accs, xts = carry
@@ -585,8 +803,7 @@ def _dgt_kernel(*refs, nc, g, rbs, ngrp, kt, mode, resid, nw, unroll,
             return tuple(out), xts
         accs, xts = jax.lax.fori_loop(
             0, nc // unroll, body,
-            (tuple(jnp.zeros((rbs, 128), f32) for _ in range(unroll)),
-             load_tiles(0)))
+            (tuple(acc0 for _ in range(unroll)), load_tiles(0)))
         acc = functools.reduce(jnp.add, accs)
         for r in range((nc // unroll) * unroll, nc):
             acc = chunk(r, xts, acc)
@@ -595,27 +812,38 @@ def _dgt_kernel(*refs, nc, g, rbs, ngrp, kt, mode, resid, nw, unroll,
         def body(j, carry):
             acc, xts = carry
             return chunk(j, xts, acc), load_tiles(nxt(j + 1))
-        acc, _ = jax.lax.fori_loop(
-            0, nc, body, (jnp.zeros((rbs, 128), f32), load_tiles(0)))
+        acc, _ = jax.lax.fori_loop(0, nc, body, (acc0, load_tiles(0)))
+    if do_fold:
+        # exact: efold is 0/1, so each output is one f32 hi + one f32 lo
+        acc = jax.lax.dot_general(
+            acc, efold, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=f32, precision=HI)
     y_ref[0, 0, :, :] = acc
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("P", "nc", "g", "rb", "kt", "mode", "resid", "nw",
-                     "unroll", "interpret"),
+                     "unroll", "interpret", "scatter", "fold"),
 )
 def _dgt_call(wins, cols3, lrw3, vals3, x, rowhot=None, *, P, nc, g, rb, kt,
-              mode, resid, nw, unroll, interpret):
+              mode, resid, nw, unroll, interpret, scatter="select",
+              fold=True):
     n, k = x.shape
     nhl, ngrp = dgt_geometry(kt, mode)
     nwin = cdiv(n, 128) + nw  # nw zero tail windows: slices read [w0, w0+nw)
     rbs = rb // ngrp
+    q = nhl * kt
     kt_count = k // kt
     xpad = pad_dense_rows(x.astype(jnp.float32), nwin * 128)
     x3 = xpad.reshape(nwin, 128, kt_count, kt).transpose(2, 0, 3, 1)
+    x_spec = pl.BlockSpec((1, nwin, kt, 128), lambda p, t: (t, 0, 0, 0),
+                          memory_space=pltpu.VMEM)
     T = g // 128
     stream = rowhot is not None
+    assert scatter in ("select", "fullrow"), scatter
+    assert not (stream and scatter == "fullrow"), \
+        "streamed rowhot pairs with the group-scatter kernels"
     in_specs = [
         pl.BlockSpec((1, nc, T), lambda p, t: (p, 0, 0),
                      memory_space=pltpu.SMEM),
@@ -628,19 +856,37 @@ def _dgt_call(wins, cols3, lrw3, vals3, x, rowhot=None, *, P, nc, g, rb, kt,
         in_specs.append(pl.BlockSpec((1, nc, rbs, g), lambda p, t: (p, 0, 0, 0),
                                      memory_space=pltpu.VMEM))
         args.append(rowhot)
-    in_specs.append(pl.BlockSpec((1, nwin, kt, 128), lambda p, t: (t, 0, 0, 0),
-                                 memory_space=pltpu.VMEM))
+    in_specs.append(x_spec)
+    do_fold = fold and nhl == 2 and scatter == "select"
+    if scatter == "fullrow":
+        out_tile = (rb, q)
+    elif do_fold:
+        out_tile = (rbs, ngrp * kt)
+    else:
+        out_tile = (rbs, 128)
     out = pl.pallas_call(
-        functools.partial(_dgt_kernel, nc=nc, g=g, rbs=rbs, ngrp=ngrp, kt=kt,
+        functools.partial(_dgt_kernel, nc=nc, g=g, rb=rb, ngrp=ngrp, kt=kt,
                           mode=mode, resid=resid, nw=nw, unroll=max(unroll, 1),
-                          stream_rowhot=stream),
+                          stream_rowhot=stream, scatter=scatter, fold=fold),
         grid=(P, kt_count),
-        out_shape=jax.ShapeDtypeStruct((P, kt_count, rbs, 128), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((P, kt_count) + out_tile, jnp.float32),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, 1, rbs, 128), lambda p, t: (p, t, 0, 0),
+        out_specs=pl.BlockSpec((1, 1) + out_tile, lambda p, t: (p, t, 0, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
     )(*args, x3)
+    if scatter == "fullrow":
+        # out rows are the local rows directly; lanes are (hl, k)
+        y = out.reshape(P, kt_count, rb, nhl, kt)
+        y = y[..., 0, :] + y[..., 1, :] if nhl == 2 else y[..., 0, :]
+        y = y.transpose(0, 2, 1, 3)
+        return y.reshape(P * rb, kt_count * kt)
+    if do_fold:
+        # hi+lo already folded in-kernel; lanes are (grp, k) row-major, so
+        # local row rhi*ngrp+grp recovers with a pure reshape
+        y = out.reshape(P, kt_count, rbs, ngrp, kt)
+        y = y.transpose(0, 2, 3, 1, 4)
+        return y.reshape(P * rb, kt_count * kt)
     # out lanes within a tile: (grp, hl, k); row = rhi*ngrp + grp, sum hl
     y = out.reshape(P, kt_count, rbs, ngrp, nhl, kt)
     if nhl == 2:
@@ -693,11 +939,14 @@ def dgt_spmm(
     *,
     unroll: int = 8,
     rowhot=None,
+    scatter: str = "select",
+    fold: bool = True,
     interpret: bool | None = None,
 ) -> jnp.ndarray:
     """Y[M, K] = A . X[N, K] with A in DgtFormat (K > kt runs kt-wide tiles
     on a grid axis).  ``rowhot`` (from pack_rowhot) streams precomputed
-    scatter planes instead of the per-chunk compare."""
+    scatter planes instead of the per-chunk compare; ``scatter``/``fold``
+    select the round-4 kernel variants (see _dgt_kernel)."""
     if interpret is None:
         interpret = kernel_backend_interpret()
     m, n_cols = fmt.shape
@@ -710,7 +959,7 @@ def dgt_spmm(
         fmt.wins, fmt.cols, fmt.lrw, fmt.vals, x, rowhot,
         P=fmt.n_programs, nc=fmt.n_chunks, g=fmt.chunk_g, rb=fmt.rb,
         kt=kt, mode=fmt.mode, resid=fmt.resid, nw=fmt.nw, unroll=unroll,
-        interpret=interpret,
+        interpret=interpret, scatter=scatter, fold=fold,
     )
     return _unpack_rows(fmt, y_rows)[:, :k]
 

@@ -279,6 +279,49 @@ def span_pack_aligned(cols_sorted, lrow_sorted, vals_sorted, p_starts,
     return c0, out_cols, out_lrow, out_vals, nc_arr
 
 
+def dgt_runs_multi(run_b, run_win, cnt, cap: int, nw: int, n_buckets: int,
+                   max_open: int):
+    """Multi-open-tile dgt walk (kernels/dgt_gather._dgt_walk_multi inner
+    loop): emits (seg_run, seg_cls, seg_tile, seg_fill, seg_cnt, seg_sel,
+    wins_b, wins_t, wins_w, tot_tiles) or None without the native lib."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "ts_dgt_runs_multi"):
+        return None
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    if not getattr(lib, "_dgt_runs_multi_bound", False):
+        lib.ts_dgt_runs_multi.restype = ctypes.c_int64
+        lib.ts_dgt_runs_multi.argtypes = [i64p, i64p, i64p, ctypes.c_int64,
+                                          ctypes.c_int64, ctypes.c_int64,
+                                          ctypes.c_int64, ctypes.c_int64,
+                                          ctypes.c_int64, ctypes.c_int64,
+                                          i64p, i64p, i64p, i64p, i64p, i64p,
+                                          i64p, i64p, i64p, i64p, i64p]
+        lib._dgt_runs_multi_bound = True
+    run_b = np.ascontiguousarray(run_b, dtype=np.int64)
+    run_win = np.ascontiguousarray(run_win, dtype=np.int64)
+    cnt = np.ascontiguousarray(cnt, dtype=np.int64)
+    n_runs, ncls = cnt.shape
+    nnz = int(cnt.sum())
+    seg_cap = max(nnz, 1)  # every segment holds >= 1 nz
+    segs = [np.zeros(seg_cap, dtype=np.int64) for _ in range(6)]
+    wins_cap = seg_cap
+    wins = [np.zeros(wins_cap, dtype=np.int64) for _ in range(3)]
+    tot_tiles = np.zeros(max(n_buckets, 1), dtype=np.int64)
+    counts = np.zeros(2, dtype=np.int64)  # n_segs, n_wins
+    rc = lib.ts_dgt_runs_multi(
+        run_b.ctypes.data_as(i64p), run_win.ctypes.data_as(i64p),
+        cnt.ctypes.data_as(i64p), n_runs, ncls, cap, nw, n_buckets,
+        max_open, seg_cap,
+        *[a.ctypes.data_as(i64p) for a in segs],
+        *[a.ctypes.data_as(i64p) for a in wins],
+        tot_tiles.ctypes.data_as(i64p), counts.ctypes.data_as(i64p),
+    )
+    if rc != 0:
+        return None
+    ns, nw_out = int(counts[0]), int(counts[1])
+    return (*[a[:ns] for a in segs], *[a[:nw_out] for a in wins], tot_tiles)
+
+
 def dgt_runs(run_b, run_win, cnt, cap: int, nw: int, n_buckets: int):
     """The dgt greedy run walk (kernels/dgt_gather._dgt_walk inner loop) in
     native code — the one Python-loop hot spot of the dgt packer (a 10M-nnz

@@ -72,6 +72,8 @@ class Schedule:
     ns: int = 8                        # dg_span: window tiles (W = ns*128)
     nw: int = 4                        # dgt_span: windows per 128-lane tile
     resid: bool = True                 # dgt_span: static-residue scatter
+    scatter: str = "select"            # dgt_span: select|fullrow
+    walk: str = "multi"                # dgt_span: tile walk (multi|single)
     hot_cols: int = 0                  # hybrid_cols: dense hot-column panel width
     # implementing
     precision: str = "fp32x2"          # tile kernel precision mode
@@ -250,10 +252,12 @@ def _build_sub_plan(ms, ex, sub: int, sched: Schedule, out_rows: int, interpret)
         mode = sched.precision if sched.precision in PRECISIONS else "fp32x2"
         kt = choose_kt_dg(max(sched.ktile or 8, 2))  # kt=1 stays dg_span
         fmt = pack_dgt(ms, sub, out_rows=out_rows, rb=sched.rb, g=sched.g,
-                       kt=kt, mode=mode, resid=sched.resid, nw=sched.nw)
+                       kt=kt, mode=mode, resid=sched.resid, nw=sched.nw,
+                       walk=sched.walk)
 
         def fn(x, fmt=fmt):
-            return dgt_spmm(fmt, x, unroll=sched.unroll, interpret=interpret)
+            return dgt_spmm(fmt, x, unroll=sched.unroll,
+                            scatter=sched.scatter, interpret=interpret)
 
         return fmt, fn
     if sched.family == "brick_ell":

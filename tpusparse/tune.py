@@ -149,7 +149,11 @@ def default_candidates(mat: CooMatrix, k: int, *, full: bool = False) -> list[Sc
         _, ngrp_dgt = dgt_geometry(max(kt_dg, 8), "fp32x2")
         rb_auto = auto_rb_dgt(mat.shape[0], mat.shape[1], mat.nnz,
                               ngrp=ngrp_dgt)
-        dgt_cfgs = [(True, 256, 4), (False, 256, 8)]
+        # round-4: the multi-open-tile walk (pack default) converts nw=8 /
+        # rb=512 into the lowest-padding config (1.42 -> 1.13 on the 32k
+        # headline, BENCH_AB_r04); scatter stays 'select' (fullrow / repmul
+        # / wide all carry measured or compiler refutations, PERF.md r4)
+        dgt_cfgs = [(True, 512, 8), (True, 256, 4), (False, 256, 8)]
         if rb_auto > 512:
             # sparse per-window regimes need bigger programs for tile fill
             dgt_cfgs.insert(0, (True, rb_auto, 4))
