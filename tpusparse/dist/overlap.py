@@ -86,13 +86,39 @@ def pack_halo_stripe(
     n_chunk_rows = round_up(-(-max(n, 1) // d), 8)
     p_per_dev = max(int(np.max(np.diff(bounds), initial=1) + rb - 1) // rb, 1)
 
-    # bucket nz by (device, chunk, stripe)
+    # bucket nz by (device, chunk, stripe).  Stripes within a device are
+    # dealt by the same greedy that fixed the other rings' padding
+    # (VERDICT r2 #2 / r3 #4): rows descending by length, each placed on
+    # the stripe minimizing the worst per-ring-chunk load — the r3
+    # contiguous-row stripes floored this ring at pad 4.79 because cnz is
+    # the max over ALL (device, chunk, stripe) buckets
     dev_of_nz = np.searchsorted(bounds, rows, side="right") - 1
-    local_row = rows - bounds[dev_of_nz]
-    stripe_of_nz = local_row // rb
-    lrow_of_nz = local_row % rb
     chunk_of_nz = cols // n_chunk_rows
     lcol_of_nz = cols % n_chunk_rows
+    rc = np.zeros((m, d), dtype=np.int64)
+    np.add.at(rc, (rows, chunk_of_nz), 1)
+    stripe_of_row = np.zeros(m, dtype=np.int64)
+    lrow_of_row = np.zeros(m, dtype=np.int64)
+    big = np.iinfo(np.int64).max
+    for dev in range(d):
+        lo, hi = int(bounds[dev]), int(bounds[dev + 1])
+        rr = np.arange(lo, hi)
+        if rr.size == 0:
+            continue
+        order_r = rr[np.argsort(-(row_ptr[rr + 1] - row_ptr[rr]),
+                                kind="stable")]
+        loads = np.zeros((p_per_dev, d), dtype=np.int64)
+        used = np.zeros(p_per_dev, dtype=np.int64)
+        for u in order_r:
+            feas = used < rb
+            worst = np.where(feas, (loads + rc[u]).max(axis=1), big)
+            s = int(np.argmin(worst))
+            stripe_of_row[u] = s
+            lrow_of_row[u] = used[s]
+            used[s] += 1
+            loads[s] += rc[u]
+    stripe_of_nz = stripe_of_row[rows]
+    lrow_of_nz = lrow_of_row[rows]
 
     key = (dev_of_nz * d + chunk_of_nz) * p_per_dev + stripe_of_nz
     buckets = d * d * p_per_dev
@@ -120,11 +146,10 @@ def pack_halo_stripe(
         out_vals[key_s, pos] = vals[order]
 
     shape5 = (d, d, p_per_dev, 1, cnz)
-    slot = np.full(m, -1, dtype=np.int32)
     r = np.arange(m)
     dev_of_row = np.searchsorted(bounds, r, side="right") - 1
-    lr = r - bounds[dev_of_row]
-    slot[:] = (dev_of_row * p_per_dev + lr // rb) * rb + lr % rb
+    slot = ((dev_of_row * p_per_dev + stripe_of_row) * rb
+            + lrow_of_row).astype(np.int32)
 
     return HaloStripeFormat(
         cols=jnp.asarray(out_cols.reshape(shape5)),
@@ -659,13 +684,22 @@ def pack_halo_dgt(
     nw: int = 4,
     resid: bool = True,
     split: int | str | None = "auto",
+    walk: str = "multi",
 ) -> HaloDgtFormat:
     """Halo ring format for the dgt kernel: virtual-row splits, then a
     greedy unit deal over the D*P (device, program) bins that balances the
     per-ring-chunk nnz vector under size-aligned slot allocation, then the
-    dgt tile walk per (device, chunk, program) bucket."""
+    dgt tile walk per (device, chunk, program) bucket.
+
+    Round-4 (VERDICT r3 #4): the walk defaults to the multi-open-tile
+    variant and ``resid=False`` is supported end-to-end (pair it with
+    ``scatter='fullrow'`` in build_halo_dgt_spmm) — the residue class caps
+    were the dominant source of the r3 ring's pad 2.74: with D**2 x P
+    buckets each (bucket, window)-run is short, and rounding every class to
+    its 128/ngrp-slot cap wastes most of each tile."""
     from tpusparse.kernels.common import round_up as _round_up
-    from tpusparse.kernels.dgt_gather import _dgt_walk, dgt_geometry
+    from tpusparse.kernels.dgt_gather import (_dgt_walk, _dgt_walk_multi,
+                                              dgt_geometry)
 
     nhl, ngrp = dgt_geometry(kt, mode)
     cap = (128 // ngrp) if resid else 128
@@ -742,7 +776,8 @@ def pack_halo_dgt(
     lcol_nz = cols % n_chunk_rows
     bucket = (dev_nz * d + chunk_of_nz) * p_loc + prog_nz
 
-    wins_f, cols_f, lrw_f, vals_f, nc_arr, _, _ = _dgt_walk(
+    walker = _dgt_walk_multi if walk == "multi" else _dgt_walk
+    wins_f, cols_f, lrw_f, vals_f, nc_arr, _, _ = walker(
         bucket, lcol_nz, lrow_nz, vals, n_buckets=d * d * p_loc,
         col_span=n_chunk_rows, ngrp=ngrp, cap=cap, T=T, g=g, nw=nw,
         resid=resid)
@@ -783,11 +818,14 @@ def build_halo_dgt_spmm(
     mesh: Mesh,
     *,
     unroll: int = 8,
+    scatter: str = "select",
+    fold: bool = True,
     interpret: bool | None = None,
 ):
     """dgt-kernel variant of the ppermute ring (the round-3 champion
     per-chip path): same overlap structure; split-row outputs fold through
-    the pairwise-sum pyramid before the slot gather."""
+    the pairwise-sum pyramid before the slot gather.  ``scatter='fullrow'``
+    pairs with resid=False packs (the low-padding ring, VERDICT r3 #4)."""
     from tpusparse.kernels.dgt_gather import _dgt_call
 
     if interpret is None:
@@ -799,7 +837,7 @@ def build_halo_dgt_spmm(
             subs[0], subs[1], subs[2], subs[3], x_cur,
             P=p_loc, nc=fmt.n_chunks, g=fmt.chunk_g, rb=fmt.rb, kt=fmt.kt,
             mode=fmt.mode, resid=fmt.resid, nw=fmt.nw, unroll=unroll,
-            interpret=interpret,
+            scatter=scatter, fold=fold, interpret=interpret,
         )
 
     def fold_out(y_slots):
