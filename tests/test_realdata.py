@@ -30,6 +30,22 @@ def test_docterm_structure():
     assert (dt.vals > 0).all()
 
 
+def test_import_graph_structure():
+    g = realdata.import_graph_coo(max_files=400)
+    m, n = g.shape
+    assert m == n == 400
+    assert g.nnz > 100
+    # directed: edges are NOT symmetric (web-graph class, unlike cooc)
+    fwd = set(zip(g.rows.tolist(), g.cols.tolist()))
+    rev = {(c, r) for r, c in fwd}
+    assert len(fwd - rev) > len(fwd) // 2
+    # in-degree hubs dominate out-degree spread (import hubs: os/typing)
+    indeg = np.bincount(g.cols, minlength=n)
+    outdeg = np.bincount(g.rows, minlength=m)
+    assert indeg.max() > 2 * outdeg.max()
+    assert (g.rows != g.cols).all()  # no self-loops
+
+
 def test_trained_pruned_weight_tiny():
     torch = pytest.importorskip("torch")
     w, meta = realdata.trained_pruned_weight(

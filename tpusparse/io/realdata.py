@@ -158,6 +158,83 @@ def docterm_coo(
                      shape=(len(streams), vocab_size))
 
 
+def import_graph_coo(max_files: int = 30000, dtype=np.float32) -> CooMatrix:
+    """Directed module-import graph over the Python sources installed on
+    this machine (round-4 workload diversification, VERDICT r3 #6): node =
+    module file, edge src -> dst when src imports dst (``import a.b`` /
+    ``from a.b import c``; relative imports resolved against the source
+    package).  The web-Google class structure the text matrices lack:
+    power-law IN-degree (hub modules: typing, os, numpy) with near-uniform
+    short out-degree rows, asymmetric and non-block-diagonal."""
+    import ast
+    import sysconfig
+
+    roots = sorted({sysconfig.get_paths()["purelib"],
+                    sysconfig.get_paths()["stdlib"]})
+
+    def mod_name(path):
+        for root in roots:
+            if path.startswith(root + os.sep):
+                rel = path[len(root) + 1:-3]  # strip root + ".py"
+                name = rel.replace(os.sep, ".")
+                if name.endswith(".__init__"):
+                    name = name[: -len(".__init__")]
+                return name
+        return None
+
+    paths = list(_python_sources(max_files=max_files))
+    names = [mod_name(p) for p in paths]
+    known = {n: i for i, n in enumerate(names) if n}
+
+    def resolve(target):
+        # longest known prefix: "a.b.c" may be a symbol of module "a.b"
+        while target:
+            if target in known:
+                return known[target]
+            if "." not in target:
+                return None
+            target = target.rsplit(".", 1)[0]
+        return None
+
+    rows_l, cols_l = [], []
+    for path, name in zip(paths, names):
+        if not name or name not in known:
+            continue
+        src_id = known[name]
+        pkg = name.rsplit(".", 1)[0] if "." in name else ""
+        try:
+            tree = ast.parse(open(path, "rb").read())
+        except Exception:
+            continue
+        targets = []
+        for node in ast.walk(tree):
+            if isinstance(node, ast.Import):
+                targets += [a.name for a in node.names]
+            elif isinstance(node, ast.ImportFrom):
+                if node.level:  # relative: climb from the source package
+                    base = name.split(".")
+                    base = base[: max(len(base) - node.level, 0)]
+                    mod = ".".join(base + ([node.module] if node.module else []))
+                else:
+                    mod = node.module or ""
+                targets.append(mod)
+                targets += [f"{mod}.{a.name}" for a in node.names]
+        del pkg
+        ids = {resolve(t) for t in targets if t}
+        ids.discard(None)
+        ids.discard(src_id)
+        for dst in ids:
+            rows_l.append(src_id)
+            cols_l.append(dst)
+    rows = np.asarray(rows_l, dtype=np.int64)
+    cols = np.asarray(cols_l, dtype=np.int64)
+    n = len(names)
+    vals = np.ones(rows.size, dtype=dtype)
+    order = np.lexsort((cols, rows))
+    return CooMatrix(rows=rows[order], cols=cols[order], vals=vals[order],
+                     shape=(n, n))
+
+
 def _corpus_text(max_bytes: int = 8 << 20) -> bytes:
     """A real text corpus: concatenated Python sources from disk."""
     buf = []
