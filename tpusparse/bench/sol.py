@@ -1,0 +1,212 @@
+"""Per-family speed-of-light table (VERDICT r3 #7).
+
+For each gather family this module counts, from the kernel's actual dot
+shapes and vector ops per chunk:
+
+  mxu_macs   multiply-accumulates issued to the MXU per chunk (dot shapes
+             as lowered: out_rows x out_lanes x contraction, operands
+             padded to the 8x128 register tile)
+  vpu_vregs  32-bit-equivalent vector registers touched per chunk by the
+             non-dot work (one-hot compares, selects, gathers, converts,
+             concats) — bf16 values count half a register per (8,128)
+
+and converts them to a cyc/nz floor two ways:
+
+  mxu floor  mxu_macs / MXU_MACS_PER_CYC (from the MEASURED 187 TF/s at
+             the nominal 940 MHz convention every chunk-cost row uses:
+             187e12/2 MACs/s / 940e6 cyc/s ~ 99.5k MACs/cyc)
+  vpu floor  vpu_vregs / VPU_VREGS_PER_CYC, with the issue rate FITTED
+             once from the measured select-scatter dgt row (the only free
+             parameter; everything else is counted, not fitted)
+
+The bigger floor is the family's speed of light; measured/floor says how
+much headroom a better schedule of the same math could still find, and
+comparing floors across families says which family can win before
+building it.  Run: python -m tpusparse.bench.sol [--microbench path]
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+
+MXU_TFLOPS_MEASURED = 187.0
+CYC_HZ = 940e6  # the repo-wide cyc/nz convention (microbench.py)
+MXU_MACS_PER_CYC = MXU_TFLOPS_MEASURED * 1e12 / 2 / CYC_HZ
+
+
+def _vregs(rows: int, lanes: int, *, bits: int = 32) -> float:
+    """Vector registers touched by one op over a (rows, lanes) value."""
+    reg_rows = 8 * 32 // bits  # f32: 8 sublanes; bf16: 16; i32: 8
+    return max(rows / reg_rows, 1.0) * max(-(-lanes // 128), 1)
+
+
+@dataclasses.dataclass
+class Cost:
+    mxu_macs: float
+    vpu_vregs: float
+    note: str = ""
+
+
+def dgt_cost(g=512, rb=256, kt=8, nw=4, ngrp=8, nhl=2, scatter="select",
+             fold=True) -> Cost:
+    """Per-chunk counts for the dgt kernel variants (kernels/dgt_gather)."""
+    T = g // 128
+    q = nhl * kt
+    rbs = rb // ngrp
+    v = 0.0
+    # col plane decode: broadcast colw (1,G)->(8,G), mask+shift
+    v += 3 * _vregs(8, g)
+    # gathers: per tile nw take_along_axis (kt,128) + (nw-1) selects + se cmp
+    v += T * (nw * _vregs(kt, 128) + (nw - 1) * 2 * _vregs(kt, 128))
+    v += T * _vregs(kt, 128)  # concat parts -> (kt, G) writes
+    # product + fp32x2 split
+    v += _vregs(kt, g)                       # xg * v
+    v += 3 * _vregs(kt, g) * (nhl - 1)       # split_bf16 (mask,sub,cast)
+    v += _vregs(q, g, bits=16)               # c2 concat write
+    mxu = 0.0
+    if scatter == "fullrow":
+        # lrow reconstruct (1,G)*2 + (rb,G) compare + select-to-bf16
+        v += 2 * _vregs(8, g)
+        v += _vregs(rb, g) + _vregs(rb, g, bits=16)
+        mxu += rb * q * g                    # (rb,G)x(q,G) -> (rb,q)
+        if fold and nhl == 2:
+            mxu += rb * kt * q               # E2 fold (HIGHEST ~6 passes)
+    else:
+        # psel: concat replicate (128,G) bf16 + masked select
+        v += 2 * _vregs(128, g, bits=16)
+        # rowhot compare (rbs,G) i32 + to bf16
+        v += _vregs(rbs, g) + _vregs(rbs, g, bits=16)
+        mxu += rbs * 128 * g                 # (rbs,G)x(128,G) -> (rbs,128)
+        if fold and nhl == 2:
+            mxu += rbs * (ngrp * kt) * 128 * 6  # f32 HIGHEST fold, 6 passes
+    return Cost(mxu, v)
+
+
+def dg_cost(g=512, rb=256, kt=8, ns=8, ngrp=8, nhl=2) -> Cost:
+    """dg_gather: ns-window select tree + dynamic (128,G) group mask."""
+    T = g // 128
+    q = nhl * kt
+    rbs = rb // ngrp
+    v = 3 * _vregs(8, g)
+    v += T * (ns * _vregs(kt, 128) + (ns - 1) * 2 * _vregs(kt, 128))
+    v += T * _vregs(kt, 128)
+    v += _vregs(kt, g) + 3 * _vregs(kt, g) * (nhl - 1) + _vregs(q, g, bits=16)
+    # psel concat + DYNAMIC group mask compare + select
+    v += _vregs(128, g) + 2 * _vregs(128, g, bits=16)
+    v += _vregs(rbs, g) + _vregs(rbs, g, bits=16)
+    return Cost(rbs * 128 * g, v)
+
+
+def radix_cost(g=512, rb=1024, kt=8, S=128, ngrp=8, spr=8) -> Cost:
+    """radix_gather: lane-packed X; three full-lane dots per chunk."""
+    rbs = rb // ngrp
+    v = 0.0
+    v += 3 * _vregs(8, g)                    # col decode
+    v += _vregs(S, g, bits=16)               # gather one-hot build (S,G)
+    v += _vregs(g, 128, bits=16)             # collapse/select plane
+    v += _vregs(rbs, g) + _vregs(rbs, g, bits=16)  # scatter one-hot
+    mxu = S * kt * 2 * g                     # gather dot (S,G)x(2kt? approx)
+    mxu += 128 * g * 2 * kt                  # fixed collapse
+    mxu += rbs * 128 * g                     # scatter dot
+    return Cost(mxu, v)
+
+
+def span_cost(g=512, rb=512, ct=1024, kt=8) -> Cost:
+    """span_onehot: (CT,G) column one-hot + (RB,G) row one-hot dots."""
+    v = _vregs(ct, g) + _vregs(ct, g, bits=16)   # colhot compare+cast
+    v += _vregs(rb, g) + _vregs(rb, g, bits=16)  # rowhot
+    v += 2 * _vregs(2 * kt, g)                   # product + split
+    mxu = ct * g * 2 * kt + rb * g * 2 * kt
+    return Cost(mxu, v)
+
+
+FAMILIES = {
+    "dgt(select,fold)": lambda: dgt_cost(scatter="select"),
+    "dgt(fullrow)": lambda: dgt_cost(scatter="fullrow"),
+    "dgt(fullrow,rb512,nw8)": lambda: dgt_cost(scatter="fullrow", rb=512, nw=8),
+    "dg(ns8)": lambda: dg_cost(),
+    "radix(S128)": lambda: radix_cost(),
+    "span(ct1024)": lambda: span_cost(),
+}
+
+
+def table(vpu_vregs_per_cyc: float | None = None,
+          measured: dict[str, float] | None = None, g: int = 512):
+    """Rows of (family, mxu_floor, vpu_floor, floor, measured, ratio).
+    ``measured`` maps family -> measured cyc/nz."""
+    measured = measured or {}
+    rows = []
+    for name, fn in FAMILIES.items():
+        c = fn()
+        mxu_f = c.mxu_macs / MXU_MACS_PER_CYC / g
+        vpu_f = (c.vpu_vregs / vpu_vregs_per_cyc / g
+                 if vpu_vregs_per_cyc else None)
+        floor = max(mxu_f, vpu_f or 0.0)
+        got = measured.get(name)
+        rows.append({
+            "family": name,
+            "mxu_macs_per_chunk": int(c.mxu_macs),
+            "vpu_vregs_per_chunk": round(c.vpu_vregs, 1),
+            "mxu_floor_cyc_nz": round(mxu_f, 4),
+            "vpu_floor_cyc_nz": round(vpu_f, 4) if vpu_f else None,
+            "floor_cyc_nz": round(floor, 4),
+            "measured_cyc_nz": got,
+            "measured_over_floor": round(got / floor, 2) if got and floor else None,
+        })
+    return rows
+
+
+def fit_vpu_rate(measured_cyc_nz: float, family: str = "dgt(select,fold)",
+                 g: int = 512) -> float:
+    """Fit the one free parameter (VPU vreg issue rate) from one measured
+    row: rate = vregs / (measured cycles - mxu cycles)."""
+    c = FAMILIES[family]()
+    mxu_cyc = c.mxu_macs / MXU_MACS_PER_CYC
+    vpu_cyc = measured_cyc_nz * g - mxu_cyc
+    return c.vpu_vregs / max(vpu_cyc, 1e-9)
+
+
+def main(argv=None):
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--microbench", default="MICROBENCH.jsonl")
+    ap.add_argument("--fit-family", default="dgt(select,fold)")
+    args = ap.parse_args(argv)
+
+    # pull the freshest measured chunk costs per family from the jsonl
+    meas: dict[str, float] = {}
+    try:
+        with open(args.microbench) as f:
+            for line in f:
+                r = json.loads(line)
+                if r.get("metric") != "chunk_cost":
+                    continue
+                k = r.get("kernel")
+                if k == "dgt" and r.get("scatter") == "select" and r.get("fold"):
+                    meas["dgt(select,fold)"] = r["cyc_per_nz"]
+                elif (k == "dgt" and r.get("scatter") == "fullrow"
+                      and r.get("rb") == 256 and r.get("resid")):
+                    meas["dgt(fullrow)"] = r["cyc_per_nz"]
+                elif (k == "dgt" and r.get("scatter") == "fullrow"
+                      and r.get("rb") == 512):
+                    meas["dgt(fullrow,rb512,nw8)"] = r["cyc_per_nz"]
+                elif k == "radix" and r.get("S") == 128 and r.get("kt") == 8 \
+                        and r.get("rb") == 1024:
+                    meas["radix(S128)"] = r["cyc_per_nz"]
+                elif k == "span" and r.get("ct") == 1024 and r.get("rb") == 512:
+                    meas["span(ct1024)"] = r["cyc_per_nz"]
+    except FileNotFoundError:
+        pass
+    rate = (fit_vpu_rate(meas[args.fit_family], args.fit_family)
+            if args.fit_family in meas else None)
+    rows = table(rate, meas)
+    out = {"vpu_vregs_per_cyc_fitted": round(rate, 3) if rate else None,
+           "mxu_macs_per_cyc": round(MXU_MACS_PER_CYC, 0), "rows": rows}
+    print(json.dumps(out, indent=1))
+    return out
+
+
+if __name__ == "__main__":
+    main()
