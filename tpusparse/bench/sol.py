@@ -122,8 +122,9 @@ def span_cost(g=512, rb=512, ct=1024, kt=8) -> Cost:
 
 
 FAMILIES = {
-    "dgt(select,fold)": lambda: dgt_cost(scatter="select"),
-    "dgt(fullrow)": lambda: dgt_cost(scatter="fullrow"),
+    "dgt(select,fold,nw4)": lambda: dgt_cost(scatter="select", nw=4),
+    "dgt(select,fold,nw8)": lambda: dgt_cost(scatter="select", nw=8),
+    "dgt(fullrow,nw4)": lambda: dgt_cost(scatter="fullrow", nw=4),
     "dgt(fullrow,rb512,nw8)": lambda: dgt_cost(scatter="fullrow", rb=512, nw=8),
     "dg(ns8)": lambda: dg_cost(),
     "radix(S128)": lambda: radix_cost(),
@@ -172,11 +173,17 @@ def main(argv=None):
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--microbench", default="MICROBENCH.jsonl")
-    ap.add_argument("--fit-family", default="dgt(select,fold)")
+    ap.add_argument("--fit-family", default="dgt(select,fold,nw4)")
     args = ap.parse_args(argv)
 
-    # pull the freshest measured chunk costs per family from the jsonl
+    # min measured chunk cost per family from the jsonl (the repo's
+    # min-time convention; cross-window rows make min the honest pick)
     meas: dict[str, float] = {}
+
+    def put(key, r):
+        if "cyc_per_nz" in r:
+            meas[key] = min(meas.get(key, 1e9), r["cyc_per_nz"])
+
     try:
         with open(args.microbench) as f:
             for line in f:
@@ -185,24 +192,25 @@ def main(argv=None):
                     continue
                 k = r.get("kernel")
                 if k == "dgt" and r.get("scatter") == "select" and r.get("fold"):
-                    meas["dgt(select,fold)"] = r["cyc_per_nz"]
+                    put(f"dgt(select,fold,nw{r.get('nw')})", r)
                 elif (k == "dgt" and r.get("scatter") == "fullrow"
-                      and r.get("rb") == 256 and r.get("resid")):
-                    meas["dgt(fullrow)"] = r["cyc_per_nz"]
+                      and r.get("rb") == 256 and r.get("nw") == 4):
+                    put("dgt(fullrow,nw4)", r)
                 elif (k == "dgt" and r.get("scatter") == "fullrow"
                       and r.get("rb") == 512):
-                    meas["dgt(fullrow,rb512,nw8)"] = r["cyc_per_nz"]
+                    put("dgt(fullrow,rb512,nw8)", r)
                 elif k == "radix" and r.get("S") == 128 and r.get("kt") == 8 \
                         and r.get("rb") == 1024:
-                    meas["radix(S128)"] = r["cyc_per_nz"]
+                    put("radix(S128)", r)
                 elif k == "span" and r.get("ct") == 1024 and r.get("rb") == 512:
-                    meas["span(ct1024)"] = r["cyc_per_nz"]
+                    put("span(ct1024)", r)
     except FileNotFoundError:
         pass
     rate = (fit_vpu_rate(meas[args.fit_family], args.fit_family)
             if args.fit_family in meas else None)
     rows = table(rate, meas)
     out = {"vpu_vregs_per_cyc_fitted": round(rate, 3) if rate else None,
+           "fit_anchor": args.fit_family,
            "mxu_macs_per_cyc": round(MXU_MACS_PER_CYC, 0), "rows": rows}
     print(json.dumps(out, indent=1))
     return out
