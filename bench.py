@@ -10,6 +10,7 @@ Detail goes to stderr.
 """
 
 import json
+import os
 import sys
 
 import numpy as np
@@ -17,6 +18,77 @@ import numpy as np
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
+
+
+def _supervised() -> int:
+    """Run the real bench in a CHILD process and watch its output: the axon
+    tunnel intermittently WEDGES a process's first RPC (the call never
+    returns, no error — observed 3x on 2026-08-19/20: microbench, a scratch
+    runner, and bench.py itself all stuck >25 min with ~0 CPU while fresh
+    processes worked).  The parent kills a child that goes silent and
+    retries with a fresh connection; the child's last stdout line (the JSON
+    row) is forwarded."""
+    import subprocess
+    import time as _t
+
+    stall_s = float(os.environ.get("TPUSPARSE_BENCH_STALL_S", "420"))
+    tries = int(os.environ.get("TPUSPARSE_BENCH_TRIES", "3"))
+    env = dict(os.environ, TPUSPARSE_BENCH_CHILD="1")
+    last_json = None
+    for attempt in range(1, tries + 1):
+        log(f"[supervisor] attempt {attempt}/{tries}")
+        child = subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__)],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env)
+        os.set_blocking(child.stdout.fileno(), False)
+        os.set_blocking(child.stderr.fileno(), False)
+
+        def _drain(stream):
+            try:
+                return stream.read() or b""
+            except (BlockingIOError, ValueError):
+                return b""
+
+        buf = b""
+        last_progress = _t.monotonic()
+        while True:
+            chunk = _drain(child.stdout)
+            if chunk:
+                buf += chunk
+                last_progress = _t.monotonic()
+            err = _drain(child.stderr)
+            if err:
+                sys.stderr.buffer.write(err)
+                sys.stderr.flush()
+                last_progress = _t.monotonic()
+            if child.poll() is not None:
+                buf += _drain(child.stdout)
+                sys.stderr.buffer.write(_drain(child.stderr))
+                sys.stderr.flush()
+                break
+            if _t.monotonic() - last_progress > stall_s:
+                log(f"[supervisor] child silent {stall_s:.0f}s — killing")
+                child.kill()
+                child.wait()
+                break
+            _t.sleep(2)
+        for line in buf.decode("utf-8", "replace").splitlines():
+            line = line.strip()
+            if line.startswith("{"):
+                last_json = line
+        if child.returncode == 0 and last_json:
+            print(last_json, flush=True)
+            return 0
+    if last_json:
+        print(last_json, flush=True)
+        return 0
+    print(json.dumps({
+        "metric": "spmm_fp32_powerlaw32k_k8_gflops", "value": 0.0,
+        "unit": "GFLOP/s", "vs_baseline": 0.0,
+        "error": "bench child stalled/failed on every attempt "
+                 "(axon tunnel wedge)",
+    }), flush=True)
+    return 1
 
 
 def _backend_reachable(timeout: float = 240.0) -> bool:
@@ -173,4 +245,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if os.environ.get("TPUSPARSE_BENCH_CHILD"):
+        main()
+    else:
+        sys.exit(_supervised())
