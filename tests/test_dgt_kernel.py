@@ -160,3 +160,20 @@ def test_dgt_walk_native_matches_python():
         got = np.asarray(getattr(f_native, name))
         want = np.asarray(getattr(f_python, name))
         assert np.array_equal(got, want), name
+
+
+@pytest.mark.parametrize("scatter", ["select", "fullrow"])
+@pytest.mark.parametrize("unroll", [1, 8])
+def test_dgt_pipe_matches_base(scatter, unroll):
+    """The software-pipelined body (build chunk j+1 while dotting chunk j)
+    must be bitwise-identical math to the unpipelined loop."""
+    A = _coo("power", 900, 1500, 7000, seed=3)
+    fmt = pack_dgt(A, rb=256, g=256, kt=8, resid=(scatter == "select"))
+    x = np.random.default_rng(4).standard_normal((1500, 8)).astype(np.float32)
+    y0 = np.asarray(dgt_spmm(fmt, jnp.asarray(x), unroll=unroll,
+                             scatter=scatter, pipe=False))
+    y1 = np.asarray(dgt_spmm(fmt, jnp.asarray(x), unroll=unroll,
+                             scatter=scatter, pipe=True))
+    np.testing.assert_array_equal(y0, y1)
+    ref = spmm_reference(A, x)
+    np.testing.assert_allclose(y1, ref, rtol=0, atol=1e-4 * np.abs(ref).max())

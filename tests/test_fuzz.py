@@ -74,9 +74,10 @@ def _random_schedule(rng, mat):
         kw["resid"] = bool(rng.integers(0, 2))
         kw["ktile"] = [8, 16, 32][int(rng.integers(0, 3))]
         kw["precision"] = ["fp32x2", "bf16"][int(rng.integers(0, 2))]
-        # round-4 variants: walk, wide encoding, scatter kernel
+        # round-4 variants: walk, wide encoding, scatter kernel, pipeline
         kw["walk"] = ["multi", "single"][int(rng.integers(0, 2))]
         kw["scatter"] = ["select", "fullrow"][int(rng.integers(0, 2))]
+        kw["pipe"] = bool(rng.integers(0, 2))
     if fam == "segment_span":
         kw["work_per_block"] = int(2 ** rng.integers(5, 9))
         kw["precision"] = "fp32x2"

@@ -665,7 +665,8 @@ def with_values(fmt: DgtFormat, new_vals) -> DgtFormat:
 
 
 def _dgt_kernel(*refs, nc, g, rb, ngrp, kt, mode, resid, nw, unroll,
-                stream_rowhot=False, scatter="select", fold=True):
+                stream_rowhot=False, scatter="select", fold=True,
+                pipe=False):
     """Round-4 kernel variants (VERDICT r3 #1/#2), all oracle-checked:
 
     scatter='select'   (r3 baseline) psel = concat([c2]*ngrp) masked by the
@@ -686,6 +687,15 @@ def _dgt_kernel(*refs, nc, g, rb, ngrp, kt, mode, resid, nw, unroll,
                        0/1 operand makes the 6-pass decomposition exact), so
                        the host epilogue is a pure reshape instead of
                        reshape+add+transpose materializing full Y twice.
+    pipe               software-pipeline the VPU build against the MXU dot:
+                       the (rowhot, psel) operands for chunk j are built in
+                       iteration j-1 and carried, so each iteration's dot
+                       (chunk j) and build (chunk j+1) share no data
+                       dependency and the VLIW scheduler can overlap the two
+                       units.  Motivation: the SoL table's nw4 row measures
+                       0.218 cyc/nz ~= VPU floor 0.146 + MXU floor 0.072 —
+                       the units run back-to-back in the unpipelined body
+                       even though unrolled chunks are independent.
     (A 'wide' single-gather variant over the tile's nw*128-lane span was
     refuted at the Mosaic level — see _dgt_fill's docstring.)
     """
@@ -739,7 +749,8 @@ def _dgt_kernel(*refs, nc, g, rb, ngrp, kt, mode, resid, nw, unroll,
         return tuple(x3_ref[0, pl.ds(wins_ref[0, j, tt], nw)]
                      for tt in range(T))              # T x (nw, kt, 128)
 
-    def chunk(j, xts, acc):
+    def build(j, xts):
+        """VPU stage: gathers, products, scatter operands for chunk j."""
         lrw = lrw_ref[0, pl.ds(j, 1), :]             # (1, G)
         v = vals_ref[0, pl.ds(j, 1), :]
         colw = cols_ref[0, pl.ds(j, 1), :]
@@ -768,30 +779,65 @@ def _dgt_kernel(*refs, nc, g, rb, ngrp, kt, mode, resid, nw, unroll,
         if scatter == "fullrow":
             lfull = lrw * ngrp + laneres if resid else lrw
             rowfull = (iota_rb == lfull).astype(bf16)   # (rb, G)
-            return acc + jax.lax.dot_general(
-                rowfull, c2, dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=f32)
-        if True:
-            psel_pre = jnp.concatenate([c2] * ngrp, axis=0)  # (128, G)
-            if resid:
-                psel = jnp.where(static_mask, psel_pre, bf16(0))
-                if rh_ref is not None:
-                    rowhot = rh_ref[0, j]                    # (rbs, G) bf16
-                else:
-                    rowhot = (iota_rbs == lrw).astype(bf16)  # lrw=lrow//ngrp
+            return rowfull, c2
+        psel_pre = jnp.concatenate([c2] * ngrp, axis=0)  # (128, G)
+        if resid:
+            psel = jnp.where(static_mask, psel_pre, bf16(0))
+            if rh_ref is not None:
+                rowhot = rh_ref[0, j]                    # (rbs, G) bf16
             else:
-                psel = jnp.where(lane_grp == lrw % ngrp, psel_pre, bf16(0))
-                rowhot = (iota_rbs == lrw // ngrp).astype(bf16)
+                rowhot = (iota_rbs == lrw).astype(bf16)  # lrw=lrow//ngrp
+        else:
+            psel = jnp.where(lane_grp == lrw % ngrp, psel_pre, bf16(0))
+            rowhot = (iota_rbs == lrw // ngrp).astype(bf16)
+        return rowhot, psel
+
+    def fire(pre, acc):
+        """MXU stage: scatter dot of a built chunk into the accumulator."""
+        a, b = pre
         return acc + jax.lax.dot_general(
-            rowhot, psel, dimension_numbers=(((1,), (1,)), ((), ())),
+            a, b, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=f32)
+
+    def chunk(j, xts, acc):
+        return fire(build(j, xts), acc)
 
     def nxt(j):
         return jnp.minimum(j, nc - 1)
 
     acc0 = (jnp.zeros((rb, q), f32) if scatter == "fullrow"
             else jnp.zeros((rbs, 128), f32))
-    if unroll > 1:
+    if pipe:
+        # carry invariant entering step j: pre = built(j), xts = tiles(j+1)
+        xts = load_tiles(0)
+        pre0 = build(0, xts)
+        xts1 = load_tiles(nxt(1))
+        if unroll > 1:
+            def body(i, carry):
+                accs, xts, pre = carry
+                out = []
+                for u in range(unroll):
+                    j = i * unroll + u
+                    a = fire(pre, accs[u])
+                    pre = build(nxt(j + 1), xts)
+                    xts = load_tiles(nxt(j + 2))
+                    out.append(a)
+                return tuple(out), xts, pre
+            accs, xts, pre = jax.lax.fori_loop(
+                0, nc // unroll, body,
+                (tuple(acc0 for _ in range(unroll)), xts1, pre0))
+            acc = functools.reduce(jnp.add, accs)
+            for r in range((nc // unroll) * unroll, nc):
+                acc = fire(pre, acc)
+                pre = build(nxt(r + 1), xts)
+                xts = load_tiles(nxt(r + 2))
+        else:
+            def body(j, carry):
+                acc, xts, pre = carry
+                return (fire(pre, acc), load_tiles(nxt(j + 2)),
+                        build(nxt(j + 1), xts))
+            acc, _, _ = jax.lax.fori_loop(0, nc, body, (acc0, xts1, pre0))
+    elif unroll > 1:
         def body(i, carry):
             accs, xts = carry
             out = []
@@ -824,11 +870,11 @@ def _dgt_kernel(*refs, nc, g, rb, ngrp, kt, mode, resid, nw, unroll,
 @functools.partial(
     jax.jit,
     static_argnames=("P", "nc", "g", "rb", "kt", "mode", "resid", "nw",
-                     "unroll", "interpret", "scatter", "fold"),
+                     "unroll", "interpret", "scatter", "fold", "pipe"),
 )
 def _dgt_call(wins, cols3, lrw3, vals3, x, rowhot=None, *, P, nc, g, rb, kt,
               mode, resid, nw, unroll, interpret, scatter="select",
-              fold=True):
+              fold=True, pipe=False):
     n, k = x.shape
     nhl, ngrp = dgt_geometry(kt, mode)
     nwin = cdiv(n, 128) + nw  # nw zero tail windows: slices read [w0, w0+nw)
@@ -867,7 +913,8 @@ def _dgt_call(wins, cols3, lrw3, vals3, x, rowhot=None, *, P, nc, g, rb, kt,
     out = pl.pallas_call(
         functools.partial(_dgt_kernel, nc=nc, g=g, rb=rb, ngrp=ngrp, kt=kt,
                           mode=mode, resid=resid, nw=nw, unroll=max(unroll, 1),
-                          stream_rowhot=stream, scatter=scatter, fold=fold),
+                          stream_rowhot=stream, scatter=scatter, fold=fold,
+                          pipe=pipe),
         grid=(P, kt_count),
         out_shape=jax.ShapeDtypeStruct((P, kt_count) + out_tile, jnp.float32),
         in_specs=in_specs,
@@ -941,12 +988,13 @@ def dgt_spmm(
     rowhot=None,
     scatter: str = "select",
     fold: bool = True,
+    pipe: bool = False,
     interpret: bool | None = None,
 ) -> jnp.ndarray:
     """Y[M, K] = A . X[N, K] with A in DgtFormat (K > kt runs kt-wide tiles
     on a grid axis).  ``rowhot`` (from pack_rowhot) streams precomputed
-    scatter planes instead of the per-chunk compare; ``scatter``/``fold``
-    select the round-4 kernel variants (see _dgt_kernel)."""
+    scatter planes instead of the per-chunk compare; ``scatter``/``fold``/
+    ``pipe`` select the round-4 kernel variants (see _dgt_kernel)."""
     if interpret is None:
         interpret = kernel_backend_interpret()
     m, n_cols = fmt.shape
@@ -959,7 +1007,7 @@ def dgt_spmm(
         fmt.wins, fmt.cols, fmt.lrw, fmt.vals, x, rowhot,
         P=fmt.n_programs, nc=fmt.n_chunks, g=fmt.chunk_g, rb=fmt.rb,
         kt=kt, mode=fmt.mode, resid=fmt.resid, nw=fmt.nw, unroll=unroll,
-        interpret=interpret, scatter=scatter, fold=fold,
+        interpret=interpret, scatter=scatter, fold=fold, pipe=pipe,
     )
     return _unpack_rows(fmt, y_rows)[:, :k]
 

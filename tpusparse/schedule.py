@@ -74,6 +74,7 @@ class Schedule:
     resid: bool = True                 # dgt_span: static-residue scatter
     scatter: str = "select"            # dgt_span: select|fullrow
     walk: str = "multi"                # dgt_span: tile walk (multi|single)
+    pipe: bool = False                 # dgt_span: software-pipelined body
     hot_cols: int = 0                  # hybrid_cols: dense hot-column panel width
     # implementing
     precision: str = "fp32x2"          # tile kernel precision mode
@@ -257,7 +258,8 @@ def _build_sub_plan(ms, ex, sub: int, sched: Schedule, out_rows: int, interpret)
 
         def fn(x, fmt=fmt):
             return dgt_spmm(fmt, x, unroll=sched.unroll,
-                            scatter=sched.scatter, interpret=interpret)
+                            scatter=sched.scatter, pipe=sched.pipe,
+                            interpret=interpret)
 
         return fmt, fn
     if sched.family == "brick_ell":
