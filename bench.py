@@ -163,13 +163,17 @@ def main():
             ),
         ))
     # round-4: multi-open-tile walk (padding 1.42 -> 1.13 at rb=512 nw=8);
-    # fullrow/repmul/wide scatter variants are refuted (PERF.md round 4)
-    for resid, rb, nw in ((True, 512, 8), (True, 256, 4), (True, 256, 8)):
+    # fullrow/repmul/wide scatter variants are refuted (PERF.md round 4);
+    # g=1024 u=16 led both r4 sweep runs' medians (BENCH_AB_r04 Run C)
+    for resid, rb, nw, g_c, u_c in ((True, 512, 8, 512, 8),
+                                    (True, 512, 8, 1024, 16),
+                                    (True, 256, 4, 512, 8),
+                                    (True, 256, 8, 512, 8)):
         candidates.append((
-            f"dgt resid={int(resid)} rb={rb} nw={nw} g=512 multi",
-            lambda resid=resid, rb=rb, nw=nw: build_plan(
+            f"dgt resid={int(resid)} rb={rb} nw={nw} g={g_c} u={u_c} multi",
+            lambda resid=resid, rb=rb, nw=nw, g_c=g_c, u_c=u_c: build_plan(
                 mat, Schedule(family="dgt_span", rb=rb, nw=nw, resid=resid,
-                              g=512, unroll=8, ktile=8)
+                              g=g_c, unroll=u_c, ktile=8)
             ),
         ))
     for rb, S, g in _radix_configs(mat.density, 8)[:1] + [(1024, 128, 1024)]:

@@ -153,16 +153,22 @@ def default_candidates(mat: CooMatrix, k: int, *, full: bool = False) -> list[Sc
         # rb=512 into the lowest-padding config (1.42 -> 1.13 on the 32k
         # headline, BENCH_AB_r04); scatter stays 'select' (fullrow / repmul
         # / wide all carry measured or compiler refutations, PERF.md r4)
-        dgt_cfgs = [(True, 512, 8), (True, 256, 4), (False, 256, 8)]
+        dgt_cfgs = [(True, 512, 8, 512, 8), (True, 256, 4, 512, 8),
+                    (False, 256, 8, 512, 8),
+                    # g=1024 u=16 led the medians in both r4 sweep runs
+                    # (BENCH_AB_r04 Run C) with overlapping ranges — offered
+                    # as a candidate, the min-time loop decides per window
+                    (True, 512, 8, 1024, 16)]
         if rb_auto > 512:
             # sparse per-window regimes need bigger programs for tile fill
-            dgt_cfgs.insert(0, (True, rb_auto, 4))
+            dgt_cfgs.insert(0, (True, rb_auto, 4, 512, 8))
         if full:
-            dgt_cfgs += [(True, 512, 4), (True, 256, 8), (False, 512, 8),
-                         (True, 1024, 2)]
-        for resid, rb, nw in dgt_cfgs:
+            dgt_cfgs += [(True, 512, 4, 512, 8), (True, 256, 8, 512, 8),
+                         (False, 512, 8, 512, 8), (True, 1024, 2, 512, 8),
+                         (True, 512, 8, 512, 16), (True, 512, 8, 1024, 8)]
+        for resid, rb, nw, g_c, u_c in dgt_cfgs:
             cands.append(Schedule(family="dgt_span", rb=rb, nw=nw,
-                                  resid=resid, g=512, unroll=8,
+                                  resid=resid, g=g_c, unroll=u_c,
                                   ktile=max(kt_dg, 8)))
     # radix lane-packed one-hot — champion at K <= 32 (3-dot decomposition)
     kt_r = choose_kt(k)
