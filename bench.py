@@ -164,7 +164,8 @@ def main():
         ))
     # round-4: multi-open-tile walk (padding 1.42 -> 1.13 at rb=512 nw=8);
     # fullrow/repmul/wide scatter variants are refuted (PERF.md round 4);
-    # g=1024 u=16 led both r4 sweep runs' medians (BENCH_AB_r04 Run C)
+    # g=1024 u=16 led run C2's medians (single run, overlapping ranges —
+    # BENCH_AB_r04 Run C): a candidate for the min-time loop, not a claim
     for resid, rb, nw, g_c, u_c in ((True, 512, 8, 512, 8),
                                     (True, 512, 8, 1024, 16),
                                     (True, 256, 4, 512, 8),

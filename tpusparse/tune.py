@@ -155,9 +155,9 @@ def default_candidates(mat: CooMatrix, k: int, *, full: bool = False) -> list[Sc
         # / wide all carry measured or compiler refutations, PERF.md r4)
         dgt_cfgs = [(True, 512, 8, 512, 8), (True, 256, 4, 512, 8),
                     (False, 256, 8, 512, 8),
-                    # g=1024 u=16 led the medians in both r4 sweep runs
-                    # (BENCH_AB_r04 Run C) with overlapping ranges — offered
-                    # as a candidate, the min-time loop decides per window
+                    # g=1024 u=16 led run C2's medians (single run,
+                    # overlapping ranges — BENCH_AB_r04 Run C); offered as a
+                    # candidate only, the min-time loop decides per window
                     (True, 512, 8, 1024, 16)]
         if rb_auto > 512:
             # sparse per-window regimes need bigger programs for tile fill
