@@ -36,6 +36,25 @@ def test_spmv_multi_colsplit(col_split):
         assert fn.n_splits > 1
 
 
+def test_spmv_multi_auto_split_threshold():
+    """Auto col_split stays UNSPLIT while the unsplit kernel compiles
+    (measured: splitting loses at every compiling scale — 262k 9.02 vs
+    6.96, 524k 1.96 vs 1.56 Gnnz/s) and splits only past the measured
+    16MB resident-X compile boundary (1M unsplit fails, split-4 runs)."""
+    from tpusparse.spmv import spmv_multi_fn
+
+    mid = builder.power_law_coo(400, 524288, avg_nnz_per_row=2.0, seed=5)
+    fn = spmv_multi_fn(mid, n_vectors=8)    # X = 16MB: at the boundary
+    assert getattr(fn, "n_splits", 1) == 1
+    big = builder.power_law_coo(400, 1048576, avg_nnz_per_row=1.0, seed=5)
+    fn2 = spmv_multi_fn(big, n_vectors=8)   # X = 32MB: over the boundary
+    assert getattr(fn2, "n_splits", 1) >= 2
+    xs = np.random.default_rng(2).standard_normal((1048576, 8)).astype(np.float32)
+    y = np.asarray(fn2(xs))
+    want = spmm_reference(big, xs.astype(np.float64))
+    np.testing.assert_allclose(y, want, rtol=2e-3, atol=2e-3)
+
+
 def test_spgemm_matches_scipy():
     a = builder.power_law_coo(120, 90, avg_nnz_per_row=5.0, seed=1)
     b = builder.power_law_coo(90, 150, avg_nnz_per_row=4.0, seed=2)

@@ -146,12 +146,20 @@ def spmv_multi_fn(mat: CooMatrix, n_vectors: int = 8,
     ~m times the single-vector rate.
 
     Large N (VERDICT r3 #5): the dgt kernel keeps X resident per program
-    (N * kt * 4 bytes), which VMEM-gated the 262k row to half its 65k rate;
-    ``col_split`` (auto: enough ranges that each resident X block is
-    <= 4 MB) packs each column range as its own dgt format and the plan
-    sums the partial products — the reference's column-direction blocking
-    (fixed_interval_col_direction_*, operator.hpp:727) composed with the
-    multi-vector fuse."""
+    (N * kt * 4 bytes); ``col_split`` packs each column range as its own
+    dgt format and the plan sums the partial products — the reference's
+    column-direction blocking (fixed_interval_col_direction_*,
+    operator.hpp:727) composed with the multi-vector fuse.
+
+    MEASURED (BENCH_SUITE spmv_multi rows, ts 178721xxxx): splitting is a
+    CAPABILITY, not a speed play — it loses wherever the unsplit kernel
+    compiles.  262k (X=8MB): unsplit 9.02 vs split-2 6.96 Gnnz/s
+    aggregate; 524k (X=16MB, past the throughput cliff): unsplit 1.96 vs
+    split-2 1.56 (each range re-pays pack padding, a second pass over Y,
+    and the partial-sum adds); 1M (X=32MB): unsplit FAILS to compile
+    (tpu_compile_helper VMEM) and auto split-4 runs at 0.947.  Auto
+    therefore splits only past the measured 16MB compile boundary, into
+    8MB ranges; below it the unsplit kernel always wins."""
     import numpy as np
 
     from tpusparse.kernels.dgt_gather import auto_rb_dgt, dgt_spmm, pack_dgt
@@ -160,7 +168,9 @@ def spmv_multi_fn(mat: CooMatrix, n_vectors: int = 8,
     kt = 8
     assert 1 <= n_vectors <= kt, "pack with ktile > 8 for more vectors"
     if col_split is None:
-        col_split = max(1, -(-(n * kt * 4) // (4 * 1024 * 1024)))
+        x_bytes = n * kt * 4
+        col_split = (1 if x_bytes <= 16 * 1024 * 1024
+                     else max(2, -(-x_bytes // (8 * 1024 * 1024))))
 
     def _pack(sub, width):
         rb = (auto_rb_dgt(m, width, sub.nnz) if m >= 256
