@@ -37,10 +37,12 @@ def test_spmv_multi_colsplit(col_split):
 
 
 def test_spmv_multi_auto_split_threshold():
-    """Auto col_split stays UNSPLIT while the unsplit kernel compiles
-    (measured: splitting loses at every compiling scale — 262k 9.02 vs
-    6.96, 524k 1.96 vs 1.56 Gnnz/s) and splits only past the measured
-    16MB resident-X compile boundary (1M unsplit fails, split-4 runs)."""
+    """Auto stays the fused unsplit kernel while it compiles (measured:
+    splitting loses at every compiling scale — 262k 9.02 vs 6.96, 524k
+    1.96 vs 1.56 Gnnz/s) and splits only past the measured 16MB
+    resident-X compile boundary, where split-4 (0.947 at 1M) beats both
+    the non-compiling unsplit kernel and the refuted dg kt=1 loop
+    (0.339)."""
     from tpusparse.spmv import spmv_multi_fn
 
     mid = builder.power_law_coo(400, 524288, avg_nnz_per_row=2.0, seed=5)

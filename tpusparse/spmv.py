@@ -157,9 +157,13 @@ def spmv_multi_fn(mat: CooMatrix, n_vectors: int = 8,
     aggregate; 524k (X=16MB, past the throughput cliff): unsplit 1.96 vs
     split-2 1.56 (each range re-pays pack padding, a second pass over Y,
     and the partial-sum adds); 1M (X=32MB): unsplit FAILS to compile
-    (tpu_compile_helper VMEM) and auto split-4 runs at 0.947.  Auto
-    therefore splits only past the measured 16MB compile boundary, into
-    8MB ranges; below it the unsplit kernel always wins."""
+    (tpu_compile_helper VMEM) and split-4 runs at 0.947.  A per-vector
+    dg kt=1 loop was the plausible better route past the boundary (the
+    262k single-vector rate is 2.07) and is REFUTED too: measured 0.339
+    aggregate at 1M (spmv_multi/dgt_k8_1m_dgloop row — the kt=1 kernel
+    itself degrades far below its 262k rate at this scale), so auto
+    splits into 8MB dgt ranges past the measured 16MB compile boundary
+    and stays unsplit below it."""
     import numpy as np
 
     from tpusparse.kernels.dgt_gather import auto_rb_dgt, dgt_spmm, pack_dgt
