@@ -243,9 +243,30 @@ def main():
         "winner": work,
     }
     if probe.get("metric") == "session_probe":
-        out["probe"] = {k: probe[k] for k in
-                        ("stream_gbs", "mxu_tflops", "norm", "norm_stream")}
-        out["value_window_normalized"] = round(g * probe["norm"], 3)
+        out["probe"] = {k: probe.get(k) for k in
+                        ("stream_gbs", "mxu_tflops", "vpu_vfma_gops",
+                         "norm", "norm_stream", "norm_vpu")}
+        if probe.get("implausible"):
+            out["probe"]["implausible"] = probe["implausible"]
+        # normalize by the axis that bounds the WINNER family (sol.py
+        # BOUND_AXIS): a VPU-bound gather headline must not be scaled by
+        # an MXU window swing (VERDICT r4 weak #3).  If that axis has no
+        # plausible reading or no frozen anchor, fall back down the
+        # axis chain and record which axis was used; if nothing
+        # plausible, omit the normalized value entirely — an honest raw
+        # number beats a poisoned normalized one (VERDICT r4 weak #1).
+        from tpusparse.bench.sol import bound_axis_for
+
+        axis = bound_axis_for(work)
+        key_of = {"vpu": "norm_vpu", "mxu": "norm", "stream": "norm_stream"}
+        for ax in (axis, "stream", "mxu"):
+            norm = probe.get(key_of[ax])
+            if norm:
+                out["norm_axis"] = ax if ax == axis else f"{ax} (fallback)"
+                out["value_window_normalized"] = round(g * norm, 3)
+                break
+        else:
+            out["normalized_omitted"] = "no plausible probe axis"
     print(json.dumps(out))
 
 

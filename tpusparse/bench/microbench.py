@@ -53,7 +53,47 @@ def measure_hbm(nbytes: int = 1 << 29) -> dict:
             "reduce_gbs": round(reduce_bw, 1), "nbytes": nbytes}
 
 
-def measure_mxu(m: int = 4096, k: int = 4096, n: int = 4096) -> dict:
+def measure_vpu(rows: int = 512, lanes: int = 512, outer: int = 64,
+                chain: int = 32) -> dict:
+    """VPU vector-fma rate (Gvreg-fma/s): a (rows, lanes) fp32 value run
+    through outer*chain chained y = y*c + x steps, with the `chain` inner
+    steps Python-unrolled so XLA fuses them into ONE elementwise kernel
+    per sweep — the value stays in registers between fmas instead of
+    round-tripping the loop carry through VMEM (a bare fori_loop of
+    single fmas measured 0.39 Gops on chip, pure carry traffic).  Each
+    sweep still touches rows/8 * lanes/128 independent vregs, so issue is
+    ILP-saturated.  This is the probe for the VPU axis the gather kernels
+    are bound by (bench/sol.py); the session probe records it so
+    VPU-bound headlines are normalized by the axis that actually limits
+    them (VERDICT r4 weak #3)."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpusparse.bench.harness import time_fn
+
+    a = jnp.asarray(np.random.default_rng(3).standard_normal((rows, lanes)),
+                    jnp.float32)
+
+    @jax.jit
+    def f(x):
+        c = jnp.float32(0.9999997)
+
+        def body(_, y):
+            for _k in range(chain):
+                y = y * c + x
+            return y
+
+        return jax.lax.fori_loop(0, outer, body, x * jnp.float32(1e-3))
+
+    sec = time_fn(f, a, iters=10, warmup=1)
+    vregs = outer * chain * (rows // 8) * (lanes // 128)
+    return {"metric": "vpu_vfma",
+            "gops": round(vregs / sec / 1e9, 2),
+            "shape": [rows, lanes], "outer": outer, "chain": chain}
+
+
+def measure_mxu(m: int = 4096, k: int = 4096, n: int = 4096,
+                iters: int = 32) -> dict:
     import jax
     import jax.numpy as jnp
 
@@ -70,7 +110,10 @@ def measure_mxu(m: int = 4096, k: int = 4096, n: int = 4096) -> dict:
             x, b, dimension_numbers=((((1,), (0,))), ((), ())),
             preferred_element_type=jnp.float32)
 
-    sec = time_fn(mm, a, iters=10, warmup=1)
+    # iters=32 (not 10): one mm is ~0.73 ms, and the remote path's ~1-2 ms
+    # round-trip jitter on a 7 ms slope produced 110-378 "TF/s" swings in
+    # one round-5 session; a ~23/47 ms slope cuts that to ~5%.
+    sec = time_fn(mm, a, iters=iters, warmup=1)
     return {"metric": "mxu_bf16", "tflops": round(2 * m * k * n / sec / 1e12, 1),
             "shape": [m, k, n]}
 
@@ -296,35 +339,122 @@ def measure_index_compression(size: int = 8192) -> list[dict]:
 # r2 rows): the anchor for cross-session normalization.  Chosen once and
 # frozen — normalized numbers answer "what would this run have measured in
 # the round-2 window", making round-over-round headlines comparable.
-REF_WINDOW = {"stream_gbs": 454.6, "mxu_tflops": 187.2}
+# vpu_vfma_gops was first probed in round 5 (no r2 measurement exists);
+# its anchor is the median of the 9 readings of the first clean round-5
+# chip session (2026-08-20: 2.10-3.04, median 2.60 Gvreg-fma/s ~ 2.8
+# vregs/cyc at 940 MHz — consistent with sol.py's fitted effective rate
+# 1.8-2.2 under real kernel conditions and a ~4/cyc physical peak).
+REF_WINDOW = {"stream_gbs": 454.6, "mxu_tflops": 187.2,
+              "vpu_vfma_gops": 2.60}
+
+# Physical plausibility bounds for probe readings (VERDICT r4 weak #1: the
+# round-4 flagship artifact shipped an MXU reading of 328 TF/s — above the
+# v5e bf16 peak of ~197 — and the broken norm poisoned the committed
+# headline).  The reference rejects implausible measurements outright
+# (GFLOPS_UP_BOUND, executor.cc:51-55); we do the same at the calibration
+# layer: a reading outside its bound triggers a median-of-3 remeasure, and
+# if the median is still implausible the probe is flagged and NO norm is
+# emitted for that axis (an honest raw number beats a poisoned normalized
+# one).  Upper MXU bound = v5e bf16 peak ~197 TF/s.  VPU unit is
+# Gvreg-fma/s: measured ~2.6 (~2.8 vregs/cyc at 940 MHz); physical peak
+# ~4/cyc ~ 3.8, upper bound 8 is comfortably beyond it; readings under
+# 1.0 mean the probe degenerated to loop-carry VMEM traffic (the bare
+# fori_loop formulation measured 0.39 on chip).
+PROBE_BOUNDS = {
+    "stream_gbs": (100.0, 600.0),   # spec sheet 819 never measured >530
+    "mxu_tflops": (50.0, 200.0),    # physical bf16 peak ~197
+    "vpu_vfma_gops": (1.0, 8.0),
+}
+
+
+def _guarded(name: str, measure, extract) -> tuple[float, dict]:
+    """Run ``measure`` once; if ``extract(row)`` falls outside
+    PROBE_BOUNDS[name], remeasure and take a filtered median of the 3
+    readings: readings ABOVE the upper bound are physically impossible
+    (faster than the hardware peak — a timing-slope misfire, the round-4
+    328 TF/s failure) and are dropped before the median; readings below
+    the lower bound could in principle be real throttling, so they are
+    kept and can only be outvoted.  Returns (value, info) where info
+    records any violation."""
+    lo, hi = PROBE_BOUNDS[name]
+    row = measure()
+    val = float(extract(row))
+    if lo <= val <= hi:
+        return val, {"row": row}
+    readings = [val]
+    for _ in range(2):
+        try:
+            readings.append(float(extract(measure())))
+        except Exception as e:  # a failed remeasure is itself a datum
+            _log(f"probe remeasure {name} failed: {type(e).__name__}: {e}")
+    sane = [r for r in readings if r <= hi]
+    med = float(np.median(sane if sane else readings))
+    info = {"row": row, "violation": {"first": val, "readings": readings,
+                                      "bounds": [lo, hi]}}
+    if lo <= med <= hi:
+        _log(f"probe {name}: first reading {val} outside [{lo},{hi}], "
+             f"filtered median {med} of {readings} accepted")
+        return med, info
+    _log(f"probe {name}: IMPLAUSIBLE after retry (median {med} of "
+         f"{readings}) — axis flagged, no norm emitted")
+    info["implausible"] = True
+    return med, info
 
 
 def session_probe() -> dict:
-    """~5 s HBM-stream + MXU probe recorded at the top of every bench
-    session (VERDICT r3 #3): identical configs measured 0.38 -> 0.67 ms in
-    machine windows hours apart, so absolute GF/s numbers are meaningless
-    across sessions without a same-session calibration.  Reuses the
-    microbench shapes so the remote compile cache is warm.  Returns the
-    measured numbers plus ``norm`` — the factor that window-normalizes a
-    throughput to the REF_WINDOW (compute-bound kernels scale with the MXU
-    clock; both ratios are recorded so either story can be checked)."""
+    """~15 s HBM-stream + MXU + VPU probe recorded at the top of every
+    bench session (VERDICT r3 #3): identical configs measured 0.38 ->
+    0.67 ms in machine windows hours apart, so absolute GF/s numbers are
+    meaningless across sessions without a same-session calibration.
+
+    Every reading is plausibility-gated (PROBE_BOUNDS): out-of-bounds
+    readings are remeasured (median of 3) and, if still implausible, the
+    axis is flagged and its norm omitted rather than recorded broken
+    (VERDICT r4 #1; reference GFLOPS_UP_BOUND, executor.cc:51-55).
+
+    Returns the measured numbers plus per-axis normalization factors to
+    the frozen REF_WINDOW: ``norm`` (MXU axis — compute-bound kernels),
+    ``norm_stream`` (HBM axis — bandwidth-bound), ``norm_vpu`` (VPU axis
+    — what bench/sol.py says binds the gather families).  Callers pick
+    the axis matching the measured kernel's bound (bench.py does this per
+    winner family)."""
     import jax
 
     if jax.default_backend() != "tpu":
         return {"backend": jax.default_backend(), "norm": 1.0}
-    hbm = measure_hbm()
-    mxu = measure_mxu()
-    stream = float(hbm["stream_gbs"])
-    tflops = float(mxu["tflops"])
-    return {
-        "metric": "session_probe",
-        "stream_gbs": stream,
-        "reduce_gbs": float(hbm["reduce_gbs"]),
-        "mxu_tflops": tflops,
-        "ref_window": dict(REF_WINDOW),
-        "norm": round(REF_WINDOW["mxu_tflops"] / max(tflops, 1e-9), 4),
-        "norm_stream": round(REF_WINDOW["stream_gbs"] / max(stream, 1e-9), 4),
-    }
+    out = {"metric": "session_probe"}
+    implausible = []
+
+    stream, s_info = _guarded("stream_gbs", measure_hbm,
+                              lambda r: r["stream_gbs"])
+    out["stream_gbs"] = stream
+    out["reduce_gbs"] = float(s_info["row"].get("reduce_gbs", 0.0))
+    tflops, m_info = _guarded("mxu_tflops", measure_mxu,
+                              lambda r: r["tflops"])
+    out["mxu_tflops"] = tflops
+    vpu, v_info = _guarded("vpu_vfma_gops", measure_vpu,
+                           lambda r: r["gops"])
+    out["vpu_vfma_gops"] = vpu
+    out["ref_window"] = dict(REF_WINDOW)
+    for name, val, info, norm_key, ref in (
+            ("stream_gbs", stream, s_info, "norm_stream",
+             REF_WINDOW["stream_gbs"]),
+            ("mxu_tflops", tflops, m_info, "norm",
+             REF_WINDOW["mxu_tflops"]),
+            ("vpu_vfma_gops", vpu, v_info, "norm_vpu",
+             REF_WINDOW.get("vpu_vfma_gops"))):
+        if info.get("implausible"):
+            implausible.append(name)
+            out[norm_key] = None
+        elif ref:
+            out[norm_key] = round(ref / max(val, 1e-9), 4)
+        else:
+            out[norm_key] = None  # axis has no frozen anchor yet
+        if "violation" in info:
+            out.setdefault("violations", {})[name] = info["violation"]
+    if implausible:
+        out["implausible"] = implausible
+    return out
 
 
 def roofline_bandwidth_gbs(refresh: bool = False) -> float:
@@ -360,7 +490,7 @@ def main(argv=None):
     ap.add_argument("--out", default="MICROBENCH.jsonl")
     args = ap.parse_args(argv)
 
-    rows = [measure_hbm(), measure_mxu()]
+    rows = [measure_hbm(), measure_mxu(), measure_vpu()]
     for r in rows:
         _log(r)
     rows += measure_chunk_costs(quick=args.quick)

