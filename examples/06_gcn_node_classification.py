@@ -45,6 +45,9 @@ def planted_partition(n, c, deg_in=12, deg_out=3, seed=0):
         e_in = deg_in * members.size // 2
         rows.append(rng.choice(members, e_in))
         cols.append(rng.choice(members, e_in))
+        # out-edges are uniform over ALL nodes, so ~1/C of them land back
+        # inside the source community (effective intra-degree is slightly
+        # above deg_in) — fine for a demo SBM
         e_out = deg_out * members.size // 2
         rows.append(rng.choice(members, e_out))
         cols.append(rng.integers(0, n, e_out))

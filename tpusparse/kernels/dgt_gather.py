@@ -827,10 +827,16 @@ def _dgt_kernel(*refs, nc, g, rb, ngrp, kt, mode, resid, nw, unroll,
                 0, nc // unroll, body,
                 (tuple(acc0 for _ in range(unroll)), xts1, pre0))
             acc = functools.reduce(jnp.add, accs)
+            # epilogue: skip the trailing build/load after the final fired
+            # chunk — they would be dead values (clamped duplicate chunks
+            # built but never accumulated).  The fori body above still
+            # computes one dead build/load pair in its last iteration;
+            # that is one chunk of wasted VPU work total, not O(nc).
             for r in range((nc // unroll) * unroll, nc):
                 acc = fire(pre, acc)
-                pre = build(nxt(r + 1), xts)
-                xts = load_tiles(nxt(r + 2))
+                if r + 1 < nc:
+                    pre = build(nxt(r + 1), xts)
+                    xts = load_tiles(nxt(r + 2))
         else:
             def body(j, carry):
                 acc, xts, pre = carry

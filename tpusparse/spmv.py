@@ -162,8 +162,9 @@ def spmv_multi_fn(mat: CooMatrix, n_vectors: int = 8,
     262k single-vector rate is 2.07) and is REFUTED too: measured 0.339
     aggregate at 1M (spmv_multi/dgt_k8_1m_dgloop row — the kt=1 kernel
     itself degrades far below its 262k rate at this scale), so auto
-    splits into 8MB dgt ranges past the measured 16MB compile boundary
-    and stays unsplit below it."""
+    splits into dgt ranges of at most 8MB (ceil(x_bytes/8MB) ranges,
+    min 2) past the measured 16MB compile boundary and stays unsplit
+    below it."""
     import numpy as np
 
     from tpusparse.kernels.dgt_gather import auto_rb_dgt, dgt_spmm, pack_dgt

@@ -91,7 +91,16 @@ def default_candidates(mat: CooMatrix, k: int, *, full: bool = False) -> list[Sc
     pruned by matrix statistics).  ``full=True`` sweeps the parameter grid
     the reference's commented-out schedules cover — unroll / precision /
     denser (rb, S|ct, g) points and the skew families unconditionally
-    (token_test.cc:1625-1847)."""
+    (token_test.cc:1625-1847).
+
+    Promotion rule (VERDICT r4 #9; the measurement protocol's own "not
+    narrated as a win" standard applied to this list): a config enters the
+    DEFAULT (non-full) candidate set only with (a) two independent
+    supporting runs — separate sessions / machine windows — or (b) one
+    win whose interleaved ranges are separated from the incumbent's.
+    Single-run medians with overlapping ranges go in the ``full`` sweep
+    until a second run supports them.  Each non-obvious entry cites its
+    evidence inline."""
     from tpusparse.kernels.radix_gather import choose_kt
 
     lengths = mat.row_lengths()
@@ -155,9 +164,10 @@ def default_candidates(mat: CooMatrix, k: int, *, full: bool = False) -> list[Sc
         # / wide all carry measured or compiler refutations, PERF.md r4)
         dgt_cfgs = [(True, 512, 8, 512, 8), (True, 256, 4, 512, 8),
                     (False, 256, 8, 512, 8),
-                    # g=1024 u=16 led run C2's medians (single run,
-                    # overlapping ranges — BENCH_AB_r04 Run C); offered as a
-                    # candidate only, the min-time loop decides per window
+                    # g=1024 u=16: two independent supporting runs per the
+                    # promotion rule — BENCH_AB_r04 Run C2 (led the medians)
+                    # and the r4 driver session (0.621 ms vs the g=512 u=8
+                    # sibling's 0.790 ms, separated — BENCH_r04.json tail)
                     (True, 512, 8, 1024, 16)]
         if rb_auto > 512:
             # sparse per-window regimes need bigger programs for tile fill
