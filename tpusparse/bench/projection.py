@@ -1,0 +1,200 @@
+"""Multi-chip scaling PROJECTION from single-chip measurements (VERDICT
+r4 #5 / BASELINE.md config #5).
+
+Real multi-chip runs are environment-impossible here (one v5e behind the
+axon tunnel), so the honest config-#5 deliverable is a clearly-labeled
+model built from quantities this environment CAN measure:
+
+  T_bucket(d)   on-chip time of one (device, ring-chunk) bucket kernel of
+                the dgt halo ring at d devices.  Every bucket is padded to
+                the identical [P, NC, G] shape, and Mosaic kernel time is
+                shape-driven, so ONE bucket timing gives the per-step
+                compute of every step (the greedy deal balances real nnz;
+                padding_rate already prices the imbalance).
+  T1            single-chip dgt kernel time on the same matrix (the
+                denominator of scaling efficiency).
+
+and one assumption bracket:
+
+  ICI_GBS       v5e inter-chip one-way link bandwidth.  Public figures
+                for the v5e 2D torus cluster around ~45 GB/s per link
+                direction; we bracket with 45 (conservative) and 90
+                (optimistic, 2-link striping) and label both.
+  STEP_LAT_US   per-step ppermute launch/latency overhead (~3 us).
+
+Ring model (dist/overlap._build_ring): d steps; at each step a device
+computes one bucket while ppermuting its X chunk ((n/d) * kt * 4 bytes):
+
+  T(d)   = d * max(T_bucket(d), chunk_bytes / ICI + L)
+  eff(d) = nnz/s(d) / (d * nnz/s(1)) = T1 / (d * T(d))
+
+The same bucket harness times scatter='select' (resid=True pack) vs
+'fullrow' (resid=False) on real ring-bucket shapes — the measurement
+behind the ring's scatter choice (VERDICT r4 weak #6), which round 4
+asserted from padding alone.
+
+Run on the real chip: python -m tpusparse.bench.projection [--quick]
+Appends measurement + projection rows to MULTICHIP_SCALING.json.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+import numpy as np
+
+ICI_GBS_BRACKET = (45.0, 90.0)
+STEP_LAT_US = 3.0
+
+
+def _log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def time_ring_bucket(fmt, x_chunk, *, scatter: str, unroll: int = 8,
+                     device: int = 0, chunk: int = 0) -> float:
+    """Seconds for ONE (device, ring-chunk) bucket kernel of a
+    HaloDgtFormat on the attached chip — the per-step compute of the ring
+    (all buckets share the padded shape, so any index works)."""
+    import jax.numpy as jnp
+
+    from tpusparse.bench.harness import time_fn
+    from tpusparse.kernels.dgt_gather import _dgt_call
+
+    subs = [jnp.asarray(np.asarray(a)[device, chunk])
+            for a in (fmt.wins, fmt.cols, fmt.lrw, fmt.vals)]
+
+    def call(xv):
+        return _dgt_call(
+            subs[0], subs[1], subs[2], subs[3], xv,
+            P=fmt.programs_per_device, nc=fmt.n_chunks, g=fmt.chunk_g,
+            rb=fmt.rb, kt=fmt.kt, mode=fmt.mode, resid=fmt.resid,
+            nw=fmt.nw, unroll=unroll, scatter=scatter, fold=True,
+        )
+
+    return time_fn(call, x_chunk, iters=32)
+
+
+def project(d: int, t_bucket_s: float, t1_s: float, n: int, kt: int,
+            ici_gbs: float, step_lat_us: float = STEP_LAT_US) -> dict:
+    """The ring model: T(d) = d * max(compute, comm), eff = T1/(d*T(d))."""
+    chunk_bytes = (n // d) * kt * 4
+    t_comm = chunk_bytes / (ici_gbs * 1e9) + step_lat_us * 1e-6
+    t_step = max(t_bucket_s, t_comm)
+    t_total = d * t_step
+    return {
+        "devices": d,
+        "ici_gbs_assumed": ici_gbs,
+        "t_bucket_us": round(t_bucket_s * 1e6, 2),
+        "t_comm_us": round(t_comm * 1e6, 2),
+        "bound": "compute" if t_bucket_s >= t_comm else "comm",
+        "t_total_us": round(t_total * 1e6, 2),
+        "projected_efficiency": round(t1_s / (d * t_total), 4),
+        "projected_speedup": round(t1_s / t_total, 3),
+    }
+
+
+def run(quick: bool = False) -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    from tpusparse.bench.harness import time_fn
+    from tpusparse.bench.microbench import session_probe
+    from tpusparse.dist.overlap import pack_halo_dgt
+    from tpusparse.io import builder
+    from tpusparse.kernels.dgt_gather import dgt_spmm, pack_dgt
+
+    probe = session_probe()
+    _log(f"probe: {probe}")
+
+    # the headline workload (BASELINE config #1 class)
+    m = n = 32768
+    kt = 8
+    mat = builder.power_law_coo(m, n, avg_nnz_per_row=32.0, alpha=1.8,
+                                seed=42)
+    x = np.random.default_rng(0).standard_normal((n, kt)).astype(np.float32)
+    xd = jnp.asarray(x)
+
+    # T1: single-chip dgt (the ring's own kernel family, multi-open walk)
+    fmt1 = pack_dgt(mat, rb=512, g=512, kt=kt, nw=8, resid=True,
+                    walk="multi")
+    t1 = time_fn(lambda xv: dgt_spmm(fmt1, xv, unroll=8), xd, iters=16)
+    _log(f"T1 single-chip dgt: {t1*1e3:.3f} ms (pad "
+         f"{fmt1.nnz_padded/ max(fmt1.nnz_real,1):.2f})")
+
+    d_list = (2, 4, 8) if not quick else (8,)
+    out_rows = []
+    ab_rows = []
+    for d in d_list:
+        n_chunk = -(-n // d)
+        for resid, scatter in ((False, "fullrow"), (True, "select")):
+            fmt = pack_halo_dgt(mat, d, rows_per_program=512, g=256, kt=kt,
+                                resid=resid, nw=8, walk="multi")
+            xc = jnp.asarray(
+                np.pad(x, ((0, fmt.n_chunk_rows * d - n), (0, 0)))
+                [:fmt.n_chunk_rows])
+            tb = time_ring_bucket(fmt, xc, scatter=scatter)
+            ab_rows.append({
+                "metric": "ring_bucket_ab", "devices": d,
+                "scatter": scatter, "resid": resid,
+                "t_bucket_us": round(tb * 1e6, 2),
+                "padding_rate": round(fmt.padding_rate, 3),
+                "t_bucket_x_pad": round(tb * 1e6 * fmt.padding_rate, 2),
+            })
+            _log(ab_rows[-1])
+            if scatter == "fullrow":
+                tb_proj = tb
+        for ici in ICI_GBS_BRACKET:
+            row = project(d, tb_proj, t1, n, kt, ici)
+            out_rows.append(row)
+            _log(row)
+    return {"probe": {k: probe.get(k) for k in
+                      ("stream_gbs", "mxu_tflops", "vpu_vfma_gops",
+                       "norm", "norm_stream", "norm_vpu")},
+            "t1_single_chip_us": round(t1 * 1e6, 2),
+            "ring_bucket_ab": ab_rows,
+            "projection": out_rows}
+
+
+def main(argv=None):
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--out", default="MULTICHIP_SCALING.json")
+    args = ap.parse_args(argv)
+    res = run(quick=args.quick)
+
+    # merge into MULTICHIP_SCALING.json: keep the CPU-interpret regression
+    # rows but rename their perf-shaped field (VERDICT r4 weak #7)
+    try:
+        with open(args.out) as f:
+            doc = json.load(f)
+    except Exception:
+        doc = {}
+    for rows in doc.get("rings", {}).values():
+        for r in rows:
+            if "efficiency" in r:
+                r["wallclock_ratio_cpu_interpret_NOT_PERF"] = r.pop(
+                    "efficiency")
+    doc["note"] = (
+        "rings = correctness + overlap-shape regression on 8 VIRTUAL CPU "
+        "devices; wallclock_ratio_cpu_interpret_NOT_PERF is interpreter "
+        "wall-clock, NOT a performance number.  projection = the config-#5 "
+        "scaling MODEL from real-chip bucket timings at the labeled ICI "
+        "assumptions (see bench/projection.py; single physical chip in "
+        "this environment).")
+    import time as _t
+
+    doc["projection_ts"] = _t.time()
+    doc.update(res)
+    with open(args.out, "w") as f:
+        json.dump(doc, f, indent=1)
+    print(json.dumps({"wrote": args.out,
+                      "projection": res["projection"],
+                      "ring_bucket_ab": res["ring_bucket_ab"]}))
+
+
+if __name__ == "__main__":
+    main()

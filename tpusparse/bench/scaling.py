@@ -1,10 +1,14 @@
-"""Multi-device scaling-efficiency harness (BASELINE.json config #5:
+"""Multi-device scaling regression harness (BASELINE.json config #5:
 ">= 80% nnz/s scaling efficiency at 1 chip -> 1 host -> N hosts").
 
-Measures nnz/s of the ring-overlapped halo SpMM at device counts
-1, 2, 4, ... over whatever mesh is available (virtual CPU devices under
---xla_force_host_platform_device_count for CI; real chips on a pod slice)
-and reports efficiency = nnz_per_s(D) / (D * nnz_per_s(1)).
+Runs the ring-overlapped halo SpMM at device counts 1, 2, 4, ... over
+whatever mesh is available.  On real chips (a pod slice) the reported
+ratio is a scaling efficiency; on VIRTUAL CPU devices (CI here — one
+physical chip in this environment) it is interpreter WALL-CLOCK only, so
+the field is named ``wallclock_ratio_cpu_interpret_NOT_PERF`` on CPU
+backends (VERDICT r4 weak #7: a perf-shaped field name in a committed
+JSON invites quoting).  The real config-#5 deliverable this environment
+permits is the projection model in bench/projection.py.
 
 Run: python -m tpusparse.bench.scaling [m] [n] [k] [avg_nnz]
 """
@@ -78,12 +82,14 @@ def measure_scaling(
         nnz_per_s = mat.nnz / sec
         if base is None:
             base = nnz_per_s
-        eff = nnz_per_s / (d * base)
+        ratio = nnz_per_s / (d * base)
+        key = ("efficiency" if jax.default_backend() == "tpu"
+               else "wallclock_ratio_cpu_interpret_NOT_PERF")
         rows.append({
             "devices": d,
             "seconds": sec,
             "nnz_per_s": nnz_per_s,
-            "efficiency": eff,
+            key: ratio,
             "padding_rate": fmt.padding_rate,
         })
     return rows
