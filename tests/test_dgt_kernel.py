@@ -30,6 +30,22 @@ def test_dgt_spmm_vs_oracle(kind, resid):
     np.testing.assert_allclose(y, ref, rtol=0, atol=1e-4 * np.abs(ref).max())
 
 
+@pytest.mark.parametrize("resid", [True, False])
+def test_dgt_rowhot_i8_matches_bf16(resid):
+    """Round-5 C4 (bench/formulations.py): int8 scatter one-hot is exact
+    (0/1 values are representable in every dtype; the dot accumulates
+    f32)."""
+    m, n, nnz, k = 900, 1500, 7000, 8
+    A = _coo("power", m, n, nnz, seed=5)
+    fmt = pack_dgt(A, rb=256, g=256, kt=8, mode="fp32x2", resid=resid)
+    x = np.random.default_rng(1).standard_normal((n, k)).astype(np.float32)
+    y8 = np.asarray(dgt_spmm(fmt, jnp.asarray(x), rowhot_i8=True))
+    yb = np.asarray(dgt_spmm(fmt, jnp.asarray(x)))
+    np.testing.assert_array_equal(y8, yb)
+    ref = spmm_reference(A, x)
+    np.testing.assert_allclose(y8, ref, rtol=0, atol=1e-4 * np.abs(ref).max())
+
+
 @pytest.mark.parametrize("kt,k", [(8, 3), (8, 8), (16, 16), (32, 40)])
 def test_dgt_kt_variants(kt, k):
     m, n, nnz = 700, 1200, 6000

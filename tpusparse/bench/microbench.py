@@ -53,7 +53,7 @@ def measure_hbm(nbytes: int = 1 << 29) -> dict:
             "reduce_gbs": round(reduce_bw, 1), "nbytes": nbytes}
 
 
-def measure_vpu(rows: int = 512, lanes: int = 512, outer: int = 64,
+def measure_vpu(rows: int = 512, lanes: int = 512, outer: int = 256,
                 chain: int = 32) -> dict:
     """VPU vector-fma rate (Gvreg-fma/s): a (rows, lanes) fp32 value run
     through outer*chain chained y = y*c + x steps, with the `chain` inner
@@ -85,7 +85,11 @@ def measure_vpu(rows: int = 512, lanes: int = 512, outer: int = 64,
 
         return jax.lax.fori_loop(0, outer, body, x * jnp.float32(1e-3))
 
-    sec = time_fn(f, a, iters=10, warmup=1)
+    # outer=256 -> ~0.8 ms/call; iters=32 -> ~25/50 ms slope.  At the
+    # first outer=64 (~0.2 ms/call) readings swung 2.28-3.28 in one
+    # session — the same round-trip-jitter-on-a-short-slope failure the
+    # MXU probe had before its iters bump.
+    sec = time_fn(f, a, iters=32, warmup=1)
     vregs = outer * chain * (rows // 8) * (lanes // 128)
     return {"metric": "vpu_vfma",
             "gops": round(vregs / sec / 1e9, 2),
@@ -264,19 +268,23 @@ def measure_chunk_costs(quick: bool = False,
     # single gather likewise dies in _gather_lowering_rule — see
     # kernels/dgt_gather._dgt_fill docstring).
     v4_cfgs = [
-        # (rb, g, kt, nw, resid, scatter, fold)
-        (256, 512, 8, 4, True, "select", True),    # in-kernel fold alone
-        (256, 512, 8, 8, True, "select", True),    # fold at nw=8
-        (256, 512, 8, 4, True, "fullrow", True),   # psel option (c)
-        (512, 512, 8, 8, False, "fullrow", True),  # fullrow no-resid
-        (256, 512, 8, 8, False, "fullrow", True),
-        (256, 512, 8, 4, False, "fullrow", True),
+        # (rb, g, kt, nw, resid, scatter, fold, rowhot_i8)
+        (256, 512, 8, 4, True, "select", True, False),   # in-kernel fold
+        (256, 512, 8, 8, True, "select", True, False),   # fold at nw=8
+        (256, 512, 8, 4, True, "fullrow", True, False),  # psel option (c)
+        (512, 512, 8, 8, False, "fullrow", True, False),
+        (256, 512, 8, 8, False, "fullrow", True, False),
+        (256, 512, 8, 4, False, "fullrow", True, False),
+        # round-5 C4 (bench/formulations.py): int8 scatter one-hot — the
+        # only formulation-table candidate that survived to a build
+        (256, 512, 8, 4, True, "select", True, True),
+        (256, 512, 8, 8, True, "select", True, True),
     ]
     if quick:
         v4_cfgs = v4_cfgs[:3]
     if "v4" not in sections:
         v4_cfgs = []
-    for rb, g, kt, nw, resid, scatter, fold in v4_cfgs:
+    for rb, g, kt, nw, resid, scatter, fold, ri8 in v4_cfgs:
         fmt = _synthetic_dgt(p, nc, g, rb, kt, "fp32x2", nw, n, resid=resid)
         x = jnp.asarray(np.random.default_rng(2).standard_normal((n, kt)),
                         jnp.float32)
@@ -285,9 +293,12 @@ def measure_chunk_costs(quick: bool = False,
             "kt": kt, "nw": nw, "resid": resid,
             "scatter": scatter, "fold": fold,
         }
+        if ri8:
+            row["rowhot_i8"] = True
         try:
             sec = time_fn(lambda xv: dgt_spmm(fmt, xv, unroll=8,
-                                              scatter=scatter, fold=fold),
+                                              scatter=scatter, fold=fold,
+                                              rowhot_i8=ri8),
                           x, iters=10)
             us = sec / (p * nc) * 1e6
             row.update(us_per_chunk=round(us, 3),

@@ -666,7 +666,7 @@ def with_values(fmt: DgtFormat, new_vals) -> DgtFormat:
 
 def _dgt_kernel(*refs, nc, g, rb, ngrp, kt, mode, resid, nw, unroll,
                 stream_rowhot=False, scatter="select", fold=True,
-                pipe=False):
+                pipe=False, rowhot_i8=False):
     """Round-4 kernel variants (VERDICT r3 #1/#2), all oracle-checked:
 
     scatter='select'   (r3 baseline) psel = concat([c2]*ngrp) masked by the
@@ -781,15 +781,21 @@ def _dgt_kernel(*refs, nc, g, rb, ngrp, kt, mode, resid, nw, unroll,
             rowfull = (iota_rb == lfull).astype(bf16)   # (rb, G)
             return rowfull, c2
         psel_pre = jnp.concatenate([c2] * ngrp, axis=0)  # (128, G)
+        # round-5 C4 (bench/formulations.py): the one-hot cast can narrow
+        # to int8 — Mosaic accepts an i8 x bf16 dot with f32 acc (verified
+        # exact on v5e 2026-08-20) and the i8 plane is half the vregs of
+        # bf16.  The compare itself must stay i32 (int8 vector compares
+        # are Mosaic-rejected, CLAUDE.md).
+        rh_dt = jnp.int8 if rowhot_i8 else bf16
         if resid:
             psel = jnp.where(static_mask, psel_pre, bf16(0))
             if rh_ref is not None:
                 rowhot = rh_ref[0, j]                    # (rbs, G) bf16
             else:
-                rowhot = (iota_rbs == lrw).astype(bf16)  # lrw=lrow//ngrp
+                rowhot = (iota_rbs == lrw).astype(rh_dt)  # lrw=lrow//ngrp
         else:
             psel = jnp.where(lane_grp == lrw % ngrp, psel_pre, bf16(0))
-            rowhot = (iota_rbs == lrw // ngrp).astype(bf16)
+            rowhot = (iota_rbs == lrw // ngrp).astype(rh_dt)
         return rowhot, psel
 
     def fire(pre, acc):
@@ -876,11 +882,12 @@ def _dgt_kernel(*refs, nc, g, rb, ngrp, kt, mode, resid, nw, unroll,
 @functools.partial(
     jax.jit,
     static_argnames=("P", "nc", "g", "rb", "kt", "mode", "resid", "nw",
-                     "unroll", "interpret", "scatter", "fold", "pipe"),
+                     "unroll", "interpret", "scatter", "fold", "pipe",
+                     "rowhot_i8"),
 )
 def _dgt_call(wins, cols3, lrw3, vals3, x, rowhot=None, *, P, nc, g, rb, kt,
               mode, resid, nw, unroll, interpret, scatter="select",
-              fold=True, pipe=False):
+              fold=True, pipe=False, rowhot_i8=False):
     n, k = x.shape
     nhl, ngrp = dgt_geometry(kt, mode)
     nwin = cdiv(n, 128) + nw  # nw zero tail windows: slices read [w0, w0+nw)
@@ -920,7 +927,7 @@ def _dgt_call(wins, cols3, lrw3, vals3, x, rowhot=None, *, P, nc, g, rb, kt,
         functools.partial(_dgt_kernel, nc=nc, g=g, rb=rb, ngrp=ngrp, kt=kt,
                           mode=mode, resid=resid, nw=nw, unroll=max(unroll, 1),
                           stream_rowhot=stream, scatter=scatter, fold=fold,
-                          pipe=pipe),
+                          pipe=pipe, rowhot_i8=rowhot_i8),
         grid=(P, kt_count),
         out_shape=jax.ShapeDtypeStruct((P, kt_count) + out_tile, jnp.float32),
         in_specs=in_specs,
@@ -995,12 +1002,14 @@ def dgt_spmm(
     scatter: str = "select",
     fold: bool = True,
     pipe: bool = False,
+    rowhot_i8: bool = False,
     interpret: bool | None = None,
 ) -> jnp.ndarray:
     """Y[M, K] = A . X[N, K] with A in DgtFormat (K > kt runs kt-wide tiles
     on a grid axis).  ``rowhot`` (from pack_rowhot) streams precomputed
     scatter planes instead of the per-chunk compare; ``scatter``/``fold``/
-    ``pipe`` select the round-4 kernel variants (see _dgt_kernel)."""
+    ``pipe`` select the round-4 kernel variants (see _dgt_kernel);
+    ``rowhot_i8`` narrows the scatter one-hot to int8 (round-5 C4)."""
     if interpret is None:
         interpret = kernel_backend_interpret()
     m, n_cols = fmt.shape
@@ -1014,6 +1023,7 @@ def dgt_spmm(
         P=fmt.n_programs, nc=fmt.n_chunks, g=fmt.chunk_g, rb=fmt.rb,
         kt=kt, mode=fmt.mode, resid=fmt.resid, nw=fmt.nw, unroll=unroll,
         interpret=interpret, scatter=scatter, fold=fold, pipe=pipe,
+        rowhot_i8=rowhot_i8,
     )
     return _unpack_rows(fmt, y_rows)[:, :k]
 
