@@ -121,7 +121,7 @@ def run(quick: bool = False) -> dict:
                     walk="multi")
     t1 = time_fn(lambda xv: dgt_spmm(fmt1, xv, unroll=8), xd, iters=16)
     _log(f"T1 single-chip dgt: {t1*1e3:.3f} ms (pad "
-         f"{fmt1.nnz_padded/ max(fmt1.nnz_real,1):.2f})")
+         f"{fmt1.padding_rate:.2f})")
 
     d_list = (2, 4, 8) if not quick else (8,)
     out_rows = []

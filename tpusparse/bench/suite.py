@@ -51,15 +51,30 @@ def run_suite(quick: bool = False, out_path: str = "BENCH_SUITE.jsonl",
     rows = []
     bw = roofline_bandwidth_gbs()  # measured stream GB/s (0 on CPU CI)
 
+    # per-session machine-window calibration (VERDICT r3 #3; r5: the probe
+    # is plausibility-gated and every perf row carries a window-normalized
+    # twin on the axis that bounds its winner family, so the grids are
+    # comparable round over round — VERDICT r4 #2)
+    from tpusparse.bench.microbench import session_probe
+    from tpusparse.bench.sol import bound_axis_for
+
+    probe = session_probe()
+    _norm_key = {"vpu": "norm_vpu", "mxu": "norm", "stream": "norm_stream"}
+
     def emit(row):
         row["ts"] = time.time()
+        fam = row.get("schedule") or row.get("kernel") or row.get("winner")
+        for field in ("gflops", "gnnz_per_s"):
+            if field in row and isinstance(row[field], (int, float)) and fam:
+                axis = bound_axis_for(str(fam))
+                norm = probe.get(_norm_key[axis]) or probe.get("norm_stream")
+                if norm:
+                    row[field + "_norm"] = round(row[field] * norm, 3)
+                    row["norm_axis"] = axis
         rows.append(row)
         print(json.dumps(row), flush=True)
 
-    # per-session machine-window calibration (VERDICT r3 #3)
-    from tpusparse.bench.microbench import session_probe
-
-    emit(session_probe())
+    emit(dict(probe))
 
     def sel(tag):
         return only is None or only == tag
@@ -226,6 +241,55 @@ def run_suite(quick: bool = False, out_path: str = "BENCH_SUITE.jsonl",
             })
         except Exception as e:
             emit({"bench": "trainable_step_pruned90",
+                  "error": f"{type(e).__name__}: {e}"})
+        # comparators (VERDICT r4 #7): the step number alone has no
+        # context — add (a) the SDDMM grad kernel alone and (b) a dense
+        # jax.grad baseline of the same loss at the same shapes.
+        try:
+            from tpusparse.autodiff import spmm_trainable
+            from tpusparse.kernels import sddmm as _sddmm
+
+            fn, v0 = spmm_trainable(tw)
+            fmt = fn.fmt
+            inv_slot = jnp.asarray(_sddmm.origrow_of_slot(fmt))
+            dy = jnp.asarray(rngt.standard_normal((tm, tk)), jnp.float32)
+            dy_slots = jnp.take(dy, inv_slot, axis=0, mode="fill",
+                                fill_value=0)
+            xs = jnp.asarray(rngt.standard_normal((tm, tk)), jnp.float32)
+            sdd = jax.jit(lambda d, x: _sddmm.span_sddmm(fmt, d, x))
+            np.asarray(sdd(dy_slots, xs))
+            sec = time_fn(lambda x: sdd(dy_slots, x), xs, iters=5)
+            emit({"bench": "sddmm_alone_pruned90", "k": tk, "nnz": tw.nnz,
+                  "schedule": "span_onehot", "seconds": round(sec, 4),
+                  "gflops": round(gflops(tw.nnz, tk, sec), 3)})
+        except Exception as e:
+            emit({"bench": "sddmm_alone_pruned90",
+                  "error": f"{type(e).__name__}: {e}"})
+        try:
+            wd = jnp.asarray(
+                np.random.default_rng(23).standard_normal((tm, tm)),
+                jnp.float32)
+
+            def dense_step(x):
+                gw, gx = jax.grad(
+                    lambda w, x: jnp.mean((x @ w.T - tt) ** 2),
+                    argnums=(0, 1))(wd, x)
+                return jnp.mean(gw) + jnp.mean(gx)
+
+            np.asarray(dense_step(xb))
+            sec = time_fn(dense_step, xb, iters=3)
+            emit({"bench": "trainable_step_dense_baseline", "k": tk,
+                  "m": tm, "seconds": round(sec, 4),
+                  # dense fwd+bwd = 3 matmuls of 2*m*m*k flops (DEFAULT
+                  # precision — the generous bf16-pass baseline); the
+                  # equivalent-sparse-gflops column prices the same step
+                  # by the SPARSE flop count so the two rows compare
+                  "dense_gflops": round(3 * 2 * tm * tm * tk / sec / 1e9,
+                                        1),
+                  "equiv_sparse_gflops": round(3 * gflops(tw.nnz, tk, sec),
+                                               3)})
+        except Exception as e:
+            emit({"bench": "trainable_step_dense_baseline",
                   "error": f"{type(e).__name__}: {e}"})
 
     # ---- config #4: N:M (2:4) structured, batched

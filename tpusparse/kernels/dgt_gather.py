@@ -879,6 +879,128 @@ def _dgt_kernel(*refs, nc, g, rb, ngrp, kt, mode, resid, nw, unroll,
     y_ref[0, 0, :, :] = acc
 
 
+def _dgt_kernel_stream(wins_sref, cols_ref, lrw_ref, vals_ref, *rest,
+                       g, rb, ngrp, kt, mode, nw, rowhot_i8=False):
+    """Streamed-X variant (round-5, VERDICT r4 #4): chunks ride the GRID
+    (P, kt_count, nc) and each chunk's T*nw window tiles arrive as their
+    own (1, 1, kt, 128) X blocks selected by scalar-prefetch index_maps
+    (the tile_onehot streaming machinery), double-buffered by the Pallas
+    pipeline — X is never VMEM-resident, so N is unbounded by the 16MB
+    residency cliff.  Cost structure: ~4KB of HBM per window tile serving
+    ~128/T nz -> nw*32 B/nz of X traffic; the kernel is HBM-bound by
+    design and exists for the large-N regime where the resident kernel
+    cannot compile at all.  select+resid scatter only (the shipping
+    config); hi/lo fold stays in the epilogue."""
+    f32, bf16 = jnp.float32, jnp.bfloat16
+    T = g // 128
+    rep = kt // 8
+    nhl = 2 if mode == "fp32x2" else 1
+    q = nhl * kt
+    rbs = rb // ngrp
+    xrefs = rest[:T * nw]
+    y_ref = rest[-1]
+    j = pl.program_id(2)
+
+    @pl.when(j == 0)
+    def _():
+        y_ref[...] = jnp.zeros_like(y_ref)
+
+    iota_rbs = jax.lax.broadcasted_iota(jnp.int32, (rbs, 1), 0)
+    sgrp = jax.lax.broadcasted_iota(jnp.int32, (128, g), 0) // q
+    lres = jax.lax.broadcasted_iota(jnp.int32, (128, g), 1) % ngrp
+    static_mask = sgrp == lres
+
+    lrw = lrw_ref[0, 0, 0, :][None, :]               # (1, G)
+    v = vals_ref[0, 0, 0, :][None, :]
+    colw = cols_ref[0, 0, 0, :][None, :]
+    colw8 = colw + jnp.zeros((8, 1), jnp.int32)
+    lidx8 = colw8 & 127
+    sel8 = colw8 >> 7
+    parts = []
+    for tt in range(T):
+        sl = slice(tt * 128, (tt + 1) * 128)
+        li = jnp.concatenate([lidx8[:, sl]] * rep, axis=0)
+        gt = jnp.take_along_axis(xrefs[tt * nw][0, 0], li, axis=1)
+        if nw > 1:
+            se = jnp.concatenate([sel8[:, sl]] * rep, axis=0)
+            for w in range(1, nw):
+                gw = jnp.take_along_axis(xrefs[tt * nw + w][0, 0], li,
+                                         axis=1)
+                gt = jnp.where(se == w, gw, gt)
+        parts.append(gt)
+    xg = jnp.concatenate(parts, axis=1)              # (kt, G)
+    p = xg * v
+    if mode == "fp32x2":
+        phi, plo = _split_bf16(p)
+        c2 = jnp.concatenate([phi, plo], axis=0)
+    else:
+        c2 = p.astype(bf16)
+    psel = jnp.where(static_mask, jnp.concatenate([c2] * ngrp, axis=0),
+                     bf16(0))
+    rh_dt = jnp.int8 if rowhot_i8 else bf16
+    rowhot = (iota_rbs == lrw).astype(rh_dt)
+    y_ref[0, 0, :, :] += jax.lax.dot_general(
+        rowhot, psel, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=f32)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("P", "nc", "g", "rb", "kt", "mode", "nw",
+                     "interpret", "rowhot_i8"),
+)
+def _dgt_call_stream(wins, cols3, lrw3, vals3, x, *, P, nc, g, rb, kt,
+                     mode, nw, interpret, rowhot_i8=False):
+    """Streamed-X dgt: see _dgt_kernel_stream.  Same DgtFormat (resid
+    packs only); X held in HBM, windows DMA'd per chunk."""
+    n, k = x.shape
+    nhl, ngrp = dgt_geometry(kt, mode)
+    nwin = cdiv(n, 128) + nw
+    rbs = rb // ngrp
+    kt_count = k // kt
+    T = g // 128
+    xpad = pad_dense_rows(x.astype(jnp.float32), nwin * 128)
+    x3 = xpad.reshape(nwin, 128, kt_count, kt).transpose(2, 0, 3, 1)
+    cols4 = cols3.reshape(P, nc, 1, g)
+    lrw4 = lrw3.reshape(P, nc, 1, g)
+    vals4 = vals3.reshape(P, nc, 1, g)
+    in_specs = [
+        pl.BlockSpec((1, 1, 1, g), lambda p, t, j, w_s: (p, j, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, 1, g), lambda p, t, j, w_s: (p, j, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, 1, g), lambda p, t, j, w_s: (p, j, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    for tt in range(T):
+        for w in range(nw):
+            in_specs.append(pl.BlockSpec(
+                (1, 1, kt, 128),
+                lambda p, t, j, w_s, tt=tt, w=w: (t, w_s[p, j, tt] + w,
+                                                  0, 0),
+                memory_space=pltpu.VMEM))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(P, kt_count, nc),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, 1, rbs, 128),
+                               lambda p, t, j, w_s: (p, t, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    out = pl.pallas_call(
+        functools.partial(_dgt_kernel_stream, g=g, rb=rb, ngrp=ngrp, kt=kt,
+                          mode=mode, nw=nw, rowhot_i8=rowhot_i8),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((P, kt_count, rbs, 128), jnp.float32),
+        interpret=interpret,
+    )(wins, cols4, lrw4, vals4, *([x3] * (T * nw)))
+    # lanes within a tile: (grp, hl, k); row = rhi*ngrp + grp, sum hl
+    y = out.reshape(P, kt_count, rbs, ngrp, nhl, kt)
+    y = y[..., 0, :] + y[..., 1, :] if nhl == 2 else y[..., 0, :]
+    y = y.transpose(0, 2, 3, 1, 4)
+    return y.reshape(P * rb, kt_count * kt)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("P", "nc", "g", "rb", "kt", "mode", "resid", "nw",
@@ -1003,13 +1125,16 @@ def dgt_spmm(
     fold: bool = True,
     pipe: bool = False,
     rowhot_i8: bool = False,
+    stream_x: bool = False,
     interpret: bool | None = None,
 ) -> jnp.ndarray:
     """Y[M, K] = A . X[N, K] with A in DgtFormat (K > kt runs kt-wide tiles
     on a grid axis).  ``rowhot`` (from pack_rowhot) streams precomputed
     scatter planes instead of the per-chunk compare; ``scatter``/``fold``/
     ``pipe`` select the round-4 kernel variants (see _dgt_kernel);
-    ``rowhot_i8`` narrows the scatter one-hot to int8 (round-5 C4)."""
+    ``rowhot_i8`` narrows the scatter one-hot to int8 (round-5 C4);
+    ``stream_x`` streams window tiles from HBM instead of holding X
+    resident (round-5 large-N path; resid+select only)."""
     if interpret is None:
         interpret = kernel_backend_interpret()
     m, n_cols = fmt.shape
@@ -1018,6 +1143,16 @@ def dgt_spmm(
     kt = fmt.kt
     if k % kt:
         x = jnp.pad(x, ((0, 0), (0, kt - k % kt)))
+    if stream_x:
+        assert fmt.resid and scatter == "select" and rowhot is None, \
+            "stream_x pairs with the resid select kernel"
+        y_rows = _dgt_call_stream(
+            fmt.wins, fmt.cols, fmt.lrw, fmt.vals, x,
+            P=fmt.n_programs, nc=fmt.n_chunks, g=fmt.chunk_g, rb=fmt.rb,
+            kt=kt, mode=fmt.mode, nw=fmt.nw, interpret=interpret,
+            rowhot_i8=rowhot_i8,
+        )
+        return _unpack_rows(fmt, y_rows)[:, :k]
     y_rows = _dgt_call(
         fmt.wins, fmt.cols, fmt.lrw, fmt.vals, x, rowhot,
         P=fmt.n_programs, nc=fmt.n_chunks, g=fmt.chunk_g, rb=fmt.rb,
