@@ -71,6 +71,7 @@ def time_ring_bucket(fmt, x_chunk, *, scatter: str, unroll: int = 8,
             P=fmt.programs_per_device, nc=fmt.n_chunks, g=fmt.chunk_g,
             rb=fmt.rb, kt=fmt.kt, mode=fmt.mode, resid=fmt.resid,
             nw=fmt.nw, unroll=unroll, scatter=scatter, fold=True,
+            interpret=False,
         )
 
     return time_fn(call, x_chunk, iters=32)
@@ -116,43 +117,59 @@ def run(quick: bool = False) -> dict:
     x = np.random.default_rng(0).standard_normal((n, kt)).astype(np.float32)
     xd = jnp.asarray(x)
 
-    # T1: single-chip dgt (the ring's own kernel family, multi-open walk)
+    # T1 reference: the standalone single-chip dgt plan (different pack
+    # geometry — reported for context only, NOT the efficiency
+    # denominator: mixing geometries produced a nonsense superlinear
+    # eff(2)=1.21 in the first driver run of this harness)
     fmt1 = pack_dgt(mat, rb=512, g=512, kt=kt, nw=8, resid=True,
                     walk="multi")
-    t1 = time_fn(lambda xv: dgt_spmm(fmt1, xv, unroll=8), xd, iters=16)
-    _log(f"T1 single-chip dgt: {t1*1e3:.3f} ms (pad "
+    t1_spmm = time_fn(lambda xv: dgt_spmm(fmt1, xv, unroll=8), xd, iters=16)
+    _log(f"single-chip dgt_spmm: {t1_spmm*1e3:.3f} ms (pad "
          f"{fmt1.padding_rate:.2f})")
+
+    # T1 denominator: the d=1 ring pack's one bucket — same kernel, same
+    # g/rb geometry as every other d, so eff(d) is internally consistent
+    fmt_1 = pack_halo_dgt(mat, 1, rows_per_program=512, g=256, kt=kt,
+                          resid=True, nw=8, walk="multi")
+    xc1 = jnp.asarray(np.pad(x, ((0, fmt_1.n_chunk_rows - n), (0, 0))))
+    t1 = time_ring_bucket(fmt_1, xc1, scatter="select")
+    _log(f"T1 (d=1 ring bucket, select): {t1*1e6:.2f} us (pad "
+         f"{fmt_1.padding_rate:.3f})")
 
     d_list = (2, 4, 8) if not quick else (8,)
     out_rows = []
     ab_rows = []
     for d in d_list:
-        n_chunk = -(-n // d)
+        tbs = {}
         for resid, scatter in ((False, "fullrow"), (True, "select")):
             fmt = pack_halo_dgt(mat, d, rows_per_program=512, g=256, kt=kt,
                                 resid=resid, nw=8, walk="multi")
             xc = jnp.asarray(
                 np.pad(x, ((0, fmt.n_chunk_rows * d - n), (0, 0)))
                 [:fmt.n_chunk_rows])
+            # t_bucket already includes padded slots (NC scales with the
+            # pack's padding), so it is the honest per-step time; do NOT
+            # multiply by padding_rate again
             tb = time_ring_bucket(fmt, xc, scatter=scatter)
             ab_rows.append({
                 "metric": "ring_bucket_ab", "devices": d,
                 "scatter": scatter, "resid": resid,
                 "t_bucket_us": round(tb * 1e6, 2),
                 "padding_rate": round(fmt.padding_rate, 3),
-                "t_bucket_x_pad": round(tb * 1e6 * fmt.padding_rate, 2),
             })
             _log(ab_rows[-1])
-            if scatter == "fullrow":
-                tb_proj = tb
+            tbs[scatter] = tb
+        best = min(tbs, key=tbs.get)
         for ici in ICI_GBS_BRACKET:
-            row = project(d, tb_proj, t1, n, kt, ici)
+            row = project(d, tbs[best], t1, n, kt, ici)
+            row["scatter"] = best
             out_rows.append(row)
             _log(row)
     return {"probe": {k: probe.get(k) for k in
                       ("stream_gbs", "mxu_tflops", "vpu_vfma_gops",
                        "norm", "norm_stream", "norm_vpu")},
-            "t1_single_chip_us": round(t1 * 1e6, 2),
+            "t1_d1_ring_bucket_us": round(t1 * 1e6, 2),
+            "t1_single_chip_dgt_spmm_us": round(t1_spmm * 1e6, 2),
             "ring_bucket_ab": ab_rows,
             "projection": out_rows}
 

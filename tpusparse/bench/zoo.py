@@ -68,6 +68,17 @@ def run_zoo(quick: bool = False, ks=(8, 64), out_path: str = "BENCH_ZOO.jsonl",
                     n_ok=sum(1 for r in res.table if r.get("ok")),
                     n_cand=len(res.table),
                 )
+                # window-normalized twin on the winner family's bound axis
+                # (VERDICT r4 #2/#3)
+                from tpusparse.bench.sol import bound_axis_for
+
+                axis = bound_axis_for(res.best_schedule.family)
+                key = {"vpu": "norm_vpu", "mxu": "norm",
+                       "stream": "norm_stream"}[axis]
+                norm = probe.get(key) or probe.get("norm_stream")
+                if norm:
+                    row.update(gflops_norm=round(row["gflops"] * norm, 3),
+                               norm_axis=axis)
             except Exception as e:
                 row["error"] = f"{type(e).__name__}: {e}"
             rows.append(row)
