@@ -53,15 +53,18 @@ def measure_scaling(
     base = None
     for d in device_counts:
         if ring == "dgt":
-            # round-4 low-padding dgt ring (VERDICT r3 #4): resid=False
-            # multi-open walk + fullrow scatter
             from tpusparse.dist.overlap import (build_halo_dgt_spmm,
                                                 pack_halo_dgt)
 
+            # r5 ring-bucket A/B (MULTICHIP_SCALING.json ring_bucket_ab):
+            # select beats fullrow at every d (2: 116 vs 284 us, 4: 37 vs
+            # 56, 8: 8.5 vs 25 — guarded median-of-3 bucket timings), so
+            # the ring reverts to the resid/select pack; the r4 fullrow
+            # choice was asserted from padding alone and is refuted.
             fmt = pack_halo_dgt(mat, d, rows_per_program=512, g=256, kt=8,
-                                resid=False, nw=8, walk="multi")
+                                resid=True, nw=8, walk="multi")
             mesh = Mesh(np.array(jax.devices()[:d]), ("rows",))
-            fn, put_inputs = build_halo_dgt_spmm(fmt, mesh, scatter="fullrow")
+            fn, put_inputs = build_halo_dgt_spmm(fmt, mesh, scatter="select")
         elif native.available():
             from tpusparse.dist.overlap import (build_halo_radix_spmm,
                                                 pack_halo_radix)
