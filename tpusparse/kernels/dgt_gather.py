@@ -1146,12 +1146,24 @@ def dgt_spmm(
     if stream_x:
         assert fmt.resid and scatter == "select" and rowhot is None, \
             "stream_x pairs with the resid select kernel"
-        y_rows = _dgt_call_stream(
-            fmt.wins, fmt.cols, fmt.lrw, fmt.vals, x,
-            P=fmt.n_programs, nc=fmt.n_chunks, g=fmt.chunk_g, rb=fmt.rb,
-            kt=kt, mode=fmt.mode, nw=fmt.nw, interpret=interpret,
-            rowhot_i8=rowhot_i8,
-        )
+        # the scalar-prefetch wins array lives WHOLE in SMEM; above ~19-36KB
+        # tpu_compile_helper dies (bisected on v5e 2026-08-20: 36.4KB fails,
+        # 18.8KB compiles).  Split the chunk axis into sequential calls of
+        # <= 16KB of scalars each and sum the partial Y planes.
+        T = fmt.chunk_g // 128
+        per_chunk = fmt.n_programs * T * 4
+        step = max(int(16384 // max(per_chunk, 1)), 1)
+        y_rows = None
+        for s0 in range(0, fmt.n_chunks, step):
+            sl = slice(s0, min(s0 + step, fmt.n_chunks))
+            y = _dgt_call_stream(
+                fmt.wins[:, sl], fmt.cols[:, sl], fmt.lrw[:, sl],
+                fmt.vals[:, sl], x,
+                P=fmt.n_programs, nc=sl.stop - sl.start, g=fmt.chunk_g,
+                rb=fmt.rb, kt=kt, mode=fmt.mode, nw=fmt.nw,
+                interpret=interpret, rowhot_i8=rowhot_i8,
+            )
+            y_rows = y if y_rows is None else y_rows + y
         return _unpack_rows(fmt, y_rows)[:, :k]
     y_rows = _dgt_call(
         fmt.wins, fmt.cols, fmt.lrw, fmt.vals, x, rowhot,
