@@ -73,6 +73,13 @@ def run_suite(quick: bool = False, out_path: str = "BENCH_SUITE.jsonl",
                     row["norm_axis"] = axis
         rows.append(row)
         print(json.dumps(row), flush=True)
+        # append IMMEDIATELY: a timed-out 90-minute run used to lose every
+        # row because persistence happened only at the end (r5 incident)
+        try:
+            with open(out_path, "a") as f:
+                f.write(json.dumps(row) + "\n")
+        except Exception:
+            pass
 
     emit(dict(probe))
 
@@ -616,9 +623,6 @@ def run_suite(quick: bool = False, out_path: str = "BENCH_SUITE.jsonl",
             emit({"bench": "real/trained_pruned_ffn",
                   "error": f"{type(e).__name__}: {e}"})
 
-    with open(out_path, "a") as f:
-        for r in rows:
-            f.write(json.dumps(r) + "\n")
     return rows
 
 

@@ -53,6 +53,8 @@ def run_zoo(quick: bool = False, ks=(8, 64), out_path: str = "BENCH_ZOO.jsonl",
     probe["ts"] = time.time()
     rows.append(probe)
     print(json.dumps(probe), flush=True)
+    with open(out_path, "a") as f:
+        f.write(json.dumps(probe) + "\n")
     for name, mat in zoo(quick).items():
         for k in ks:
             x = np.random.default_rng(0).standard_normal(
@@ -83,9 +85,8 @@ def run_zoo(quick: bool = False, ks=(8, 64), out_path: str = "BENCH_ZOO.jsonl",
                 row["error"] = f"{type(e).__name__}: {e}"
             rows.append(row)
             print(json.dumps(row), flush=True)
-    with open(out_path, "a") as f:
-        for r in rows:
-            f.write(json.dumps(r) + "\n")
+            with open(out_path, "a") as f:
+                f.write(json.dumps(row) + "\n")
     return rows
 
 
