@@ -78,6 +78,8 @@ def _random_schedule(rng, mat):
         kw["walk"] = ["multi", "single"][int(rng.integers(0, 2))]
         kw["scatter"] = ["select", "fullrow"][int(rng.integers(0, 2))]
         kw["pipe"] = bool(rng.integers(0, 2))
+        # round-5 C4: int8 scatter one-hot (bit-exact vs bf16)
+        kw["rowhot_i8"] = bool(rng.integers(0, 2))
     if fam == "segment_span":
         kw["work_per_block"] = int(2 ** rng.integers(5, 9))
         kw["precision"] = "fp32x2"

@@ -121,6 +121,21 @@ def test_build_plan_families(sched, small_coo, rng):
     check_result(y, want, rtol=2e-3)
 
 
+def test_build_plan_dgt_rowhot_i8(small_coo, rng):
+    """Round-5 C4: the int8 scatter one-hot plumbs through Schedule ->
+    build_plan and stays bit-exact vs the bf16 plane (the one-hot's 0/1
+    values are exact in both dtypes; the dot accumulates f32)."""
+    x = rng.standard_normal((small_coo.shape[1], 8)).astype(np.float32)
+    base = Schedule(family="dgt_span", rb=64, nw=4, g=128, ktile=8)
+    y_bf = np.asarray(build_plan(small_coo, base)(x))
+    i8 = Schedule(family="dgt_span", rb=64, nw=4, g=128, ktile=8,
+                  rowhot_i8=True)
+    y_i8 = np.asarray(build_plan(small_coo, i8)(x))
+    np.testing.assert_array_equal(y_i8, y_bf)
+    want = spmm_reference(small_coo, x.astype(np.float64))
+    check_result(y_i8, want, rtol=2e-3)
+
+
 def test_tuner(small_coo, rng, tmp_path):
     from tpusparse.config import config_override
     from tpusparse.tune import tune

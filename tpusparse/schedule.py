@@ -75,6 +75,7 @@ class Schedule:
     scatter: str = "select"            # dgt_span: select|fullrow
     walk: str = "multi"                # dgt_span: tile walk (multi|single)
     pipe: bool = False                 # dgt_span: software-pipelined body
+    rowhot_i8: bool = False            # dgt_span: int8 scatter one-hot (C4)
     hot_cols: int = 0                  # hybrid_cols: dense hot-column panel width
     # implementing
     precision: str = "fp32x2"          # tile kernel precision mode
@@ -259,6 +260,7 @@ def _build_sub_plan(ms, ex, sub: int, sched: Schedule, out_rows: int, interpret)
         def fn(x, fmt=fmt):
             return dgt_spmm(fmt, x, unroll=sched.unroll,
                             scatter=sched.scatter, pipe=sched.pipe,
+                            rowhot_i8=sched.rowhot_i8,
                             interpret=interpret)
 
         return fmt, fn

@@ -180,6 +180,14 @@ def default_candidates(mat: CooMatrix, k: int, *, full: bool = False) -> list[Sc
             cands.append(Schedule(family="dgt_span", rb=rb, nw=nw,
                                   resid=resid, g=g_c, unroll=u_c,
                                   ktile=max(kt_dg, 8)))
+        if full:
+            # C4 int8 scatter one-hot (FORMULATIONS_r05: the one surviving
+            # formulation candidate; i8 x bf16 dot, f32 acc, bit-exact on
+            # v5e).  Full sweep only until its second independent
+            # supporting run lands, per the promotion rule above.
+            cands.append(Schedule(family="dgt_span", rb=512, nw=8,
+                                  resid=True, g=512, unroll=8,
+                                  ktile=max(kt_dg, 8), rowhot_i8=True))
     # radix lane-packed one-hot — champion at K <= 32 (3-dot decomposition)
     kt_r = choose_kt(k)
     if k <= 128 and mat.shape[1] * kt_r * 4 <= 6 * 1024 * 1024:
