@@ -378,32 +378,51 @@ PROBE_BOUNDS = {
 }
 
 
-def _guarded(name: str, measure, extract) -> tuple[float, dict]:
-    """Run ``measure`` once; if ``extract(row)`` falls outside
-    PROBE_BOUNDS[name], remeasure and take a filtered median of the 3
-    readings: readings ABOVE the upper bound are physically impossible
-    (faster than the hardware peak — a timing-slope misfire, the round-4
-    328 TF/s failure) and are dropped before the median; readings below
-    the lower bound could in principle be real throttling, so they are
-    kept and can only be outvoted.  Returns (value, info) where info
-    records any violation."""
+def _guarded(name: str, measure, extract,
+             min_reads: int = 1) -> tuple[float, dict]:
+    """Run ``measure`` ``min_reads`` times (default once); if the filtered
+    median falls outside PROBE_BOUNDS[name], remeasure up to 3 total
+    readings and re-take the median.  Readings ABOVE the upper bound are
+    physically impossible (faster than the hardware peak — a timing-slope
+    misfire, the round-4 328 TF/s failure) and are dropped before the
+    median; readings below the lower bound could in principle be real
+    throttling, so they are kept and can only be outvoted.  Returns
+    (value, info) where info records any violation and, for
+    ``min_reads > 1``, the raw readings.
+
+    ``min_reads=3`` exists for the VPU axis: its single readings swung
+    1.9–3.1 Gvreg-fma/s between back-to-back in-bounds sessions (r5 grid
+    run), so one reading is not a usable normalizer even when plausible —
+    the median of 3 is taken ALWAYS, not just on bound violation."""
     lo, hi = PROBE_BOUNDS[name]
     row = measure()
-    val = float(extract(row))
-    if lo <= val <= hi:
-        return val, {"row": row}
-    readings = [val]
-    for _ in range(2):
+    readings = [float(extract(row))]
+    for _ in range(min_reads - 1):
+        try:
+            readings.append(float(extract(measure())))
+        except Exception as e:  # a failed read is itself a datum
+            _log(f"probe read {name} failed: {type(e).__name__}: {e}")
+    first = readings[0]
+    sane = [r for r in readings if r <= hi]
+    val = float(np.median(sane if sane else readings))
+    info: dict = {"row": row}
+    if min_reads > 1:
+        info["readings"] = list(readings)
+    if lo <= val <= hi and len(sane) == len(readings):
+        return val, info
+    while len(readings) < 3:
         try:
             readings.append(float(extract(measure())))
         except Exception as e:  # a failed remeasure is itself a datum
             _log(f"probe remeasure {name} failed: {type(e).__name__}: {e}")
     sane = [r for r in readings if r <= hi]
     med = float(np.median(sane if sane else readings))
-    info = {"row": row, "violation": {"first": val, "readings": readings,
-                                      "bounds": [lo, hi]}}
+    info["violation"] = {"first": first, "readings": readings,
+                         "bounds": [lo, hi]}
+    if min_reads > 1:
+        info["readings"] = list(readings)
     if lo <= med <= hi:
-        _log(f"probe {name}: first reading {val} outside [{lo},{hi}], "
+        _log(f"probe {name}: reading(s) outside [{lo},{hi}], "
              f"filtered median {med} of {readings} accepted")
         return med, info
     _log(f"probe {name}: IMPLAUSIBLE after retry (median {med} of "
@@ -443,9 +462,13 @@ def session_probe() -> dict:
     tflops, m_info = _guarded("mxu_tflops", measure_mxu,
                               lambda r: r["tflops"])
     out["mxu_tflops"] = tflops
+    # VPU: median-of-3 ALWAYS — in-bounds single readings swung 1.9-3.1
+    # between back-to-back r5 sessions, too noisy to normalize by alone
     vpu, v_info = _guarded("vpu_vfma_gops", measure_vpu,
-                           lambda r: r["gops"])
+                           lambda r: r["gops"], min_reads=3)
     out["vpu_vfma_gops"] = vpu
+    if "readings" in v_info:
+        out["vpu_readings"] = [round(r, 3) for r in v_info["readings"]]
     out["ref_window"] = dict(REF_WINDOW)
     for name, val, info, norm_key, ref in (
             ("stream_gbs", stream, s_info, "norm_stream",
