@@ -166,15 +166,21 @@ def main():
     # fullrow/repmul/wide scatter variants are refuted (PERF.md round 4);
     # g=1024 u=16 led run C2's medians (single run, overlapping ranges —
     # BENCH_AB_r04 Run C): a candidate for the min-time loop, not a claim
-    for resid, rb, nw, g_c, u_c in ((True, 512, 8, 512, 8),
-                                    (True, 512, 8, 1024, 16),
-                                    (True, 256, 4, 512, 8),
-                                    (True, 256, 8, 512, 8)):
+    # r5: the i8 twins are the promoted C4 formulation (BENCH_AB_r05:
+    # run-2 separated win at nw4 + run-3 interleaved medians)
+    for resid, rb, nw, g_c, u_c, i8 in ((True, 512, 8, 512, 8, False),
+                                        (True, 512, 8, 1024, 16, False),
+                                        (True, 256, 4, 512, 8, False),
+                                        (True, 256, 8, 512, 8, False),
+                                        (True, 256, 4, 512, 8, True),
+                                        (True, 512, 8, 512, 8, True)):
         candidates.append((
-            f"dgt resid={int(resid)} rb={rb} nw={nw} g={g_c} u={u_c} multi",
-            lambda resid=resid, rb=rb, nw=nw, g_c=g_c, u_c=u_c: build_plan(
+            f"dgt resid={int(resid)} rb={rb} nw={nw} g={g_c} u={u_c} multi"
+            + (" i8" if i8 else ""),
+            lambda resid=resid, rb=rb, nw=nw, g_c=g_c, u_c=u_c, i8=i8:
+            build_plan(
                 mat, Schedule(family="dgt_span", rb=rb, nw=nw, resid=resid,
-                              g=g_c, unroll=u_c, ktile=8)
+                              g=g_c, unroll=u_c, ktile=8, rowhot_i8=i8)
             ),
         ))
     for rb, S, g in _radix_configs(mat.density, 8)[:1] + [(1024, 128, 1024)]:

@@ -155,6 +155,33 @@ def test_tuner(small_coo, rng, tmp_path):
     assert (tmp_path / "results.jsonl").exists()
 
 
+def test_tuner_rejects_impossible_timings(small_coo, rng, tmp_path,
+                                          monkeypatch):
+    """Round-5 guard regression: the committed zoo run produced a 239
+    TF/s 'wide' row from a 1e-9 s memoized timing because
+    gflops_up_bound sat 5x ABOVE the MXU physical peak.  Both guards —
+    the peak-anchored GF/s bound and the dispatch-floor seconds bound —
+    must reject such candidates instead of crowning them."""
+    from tpusparse.bench import harness
+    from tpusparse.config import config_override, get_config
+    from tpusparse.tune import tune
+
+    assert get_config().gflops_up_bound <= 2.0e5  # at/below MXU peak
+
+    monkeypatch.setattr(harness, "time_fn",
+                        lambda fn, x, iters=1, warmup=0: 1e-9)
+    x = rng.standard_normal((small_coo.shape[1], 8)).astype(np.float32)
+    cands = [Schedule(family="tile_onehot", rb=64, ct=64, g=32)]
+    with config_override(cache_dir=str(tmp_path)):
+        with pytest.raises(RuntimeError, match="no schedule candidate"):
+            tune(small_coo, x, candidates=cands, iters=1, use_cache=False)
+    # the rejection reason is recorded per-candidate in results.jsonl
+    import json
+    rows = [json.loads(l)
+            for l in open(tmp_path / "results.jsonl")]
+    assert any("implausible" in str(r.get("error", "")) for r in rows)
+
+
 def test_dense_family(small_coo):
     import numpy as np
     from tpusparse.oracle import check_result, spmm_reference

@@ -69,7 +69,14 @@ class Config:
     bench_repeats: int = 100            # reference KERNAL_REPEAT_TIME (=10000)
     bench_warmup: int = 10
     float_rate: float = 2.0             # FLOPs per (nnz, dense col): mul+add
-    gflops_up_bound: float = 1.0e6      # plausibility guard
+    # Plausibility guard (reference GFLOPS_UP_BOUND, executor.cc:51-55).
+    # Counted sparse-equivalent FLOPs never exceed executed FLOPs, so no
+    # row can honestly beat the v5e MXU bf16 peak (~197 TF/s); the old
+    # 1.0e6 default sat 5x ABOVE that peak and let a 239 TF/s
+    # memoized-timing artifact into a committed r5 zoo row.
+    gflops_up_bound: float = 2.0e5
+    seconds_floor: float = 2.0e-6       # timings under ~2us are dispatch-
+                                        # impossible on any attached chip
     cache_dir: str = os.path.join(os.path.expanduser("~"), ".cache", "tpusparse")
 
     # Numeric tolerances (reference: rel 1e-2 half; we add strict fp32)

@@ -162,32 +162,36 @@ def default_candidates(mat: CooMatrix, k: int, *, full: bool = False) -> list[Sc
         # rb=512 into the lowest-padding config (1.42 -> 1.13 on the 32k
         # headline, BENCH_AB_r04); scatter stays 'select' (fullrow / repmul
         # / wide all carry measured or compiler refutations, PERF.md r4)
-        dgt_cfgs = [(True, 512, 8, 512, 8), (True, 256, 4, 512, 8),
-                    (False, 256, 8, 512, 8),
+        dgt_cfgs = [(True, 512, 8, 512, 8, False),
+                    (True, 256, 4, 512, 8, False),
+                    (False, 256, 8, 512, 8, False),
                     # g=1024 u=16: two independent supporting runs per the
                     # promotion rule — BENCH_AB_r04 Run C2 (led the medians)
                     # and the r4 driver session (0.621 ms vs the g=512 u=8
                     # sibling's 0.790 ms, separated — BENCH_r04.json tail)
-                    (True, 512, 8, 1024, 16)]
+                    (True, 512, 8, 1024, 16, False),
+                    # C4 int8 scatter one-hot (FORMULATIONS_r05, bit-exact
+                    # on v5e): promoted per the rule — BENCH_AB_r05 run 2
+                    # (nw4: 0.488 vs 0.779 ms, separated) and run 3
+                    # (interleaved medians: i8 ahead at both configs with
+                    # tighter ranges); run 1 was a nw4 tie / nw8 win
+                    (True, 256, 4, 512, 8, True),
+                    (True, 512, 8, 512, 8, True)]
         if rb_auto > 512:
             # sparse per-window regimes need bigger programs for tile fill
-            dgt_cfgs.insert(0, (True, rb_auto, 4, 512, 8))
+            dgt_cfgs.insert(0, (True, rb_auto, 4, 512, 8, False))
         if full:
-            dgt_cfgs += [(True, 512, 4, 512, 8), (True, 256, 8, 512, 8),
-                         (False, 512, 8, 512, 8), (True, 1024, 2, 512, 8),
-                         (True, 512, 8, 512, 16), (True, 512, 8, 1024, 8)]
-        for resid, rb, nw, g_c, u_c in dgt_cfgs:
+            dgt_cfgs += [(True, 512, 4, 512, 8, False),
+                         (True, 256, 8, 512, 8, False),
+                         (False, 512, 8, 512, 8, False),
+                         (True, 1024, 2, 512, 8, False),
+                         (True, 512, 8, 512, 16, False),
+                         (True, 512, 8, 1024, 8, False),
+                         (True, 512, 8, 1024, 16, True)]
+        for resid, rb, nw, g_c, u_c, i8 in dgt_cfgs:
             cands.append(Schedule(family="dgt_span", rb=rb, nw=nw,
                                   resid=resid, g=g_c, unroll=u_c,
-                                  ktile=max(kt_dg, 8)))
-        if full:
-            # C4 int8 scatter one-hot (FORMULATIONS_r05: the one surviving
-            # formulation candidate; i8 x bf16 dot, f32 acc, bit-exact on
-            # v5e).  Full sweep only until its second independent
-            # supporting run lands, per the promotion rule above.
-            cands.append(Schedule(family="dgt_span", rb=512, nw=8,
-                                  resid=True, g=512, unroll=8,
-                                  ktile=max(kt_dg, 8), rowhot_i8=True))
+                                  ktile=max(kt_dg, 8), rowhot_i8=i8))
     # radix lane-packed one-hot — champion at K <= 32 (3-dot decomposition)
     kt_r = choose_kt(k)
     if k <= 128 and mat.shape[1] * kt_r * 4 <= 6 * 1024 * 1024:
@@ -414,8 +418,14 @@ def tune(
                 )
             sec = time_fn(plan.fn, x, iters=iters, warmup=1)
             g = _gflops(mat.nnz, k, sec, cfg.float_rate)
-            if g > cfg.gflops_up_bound:  # plausibility guard (executor.cc:51-55)
+            # plausibility guards (executor.cc:51-55): counted GF/s above
+            # the MXU physical peak, or a timing under the dispatch floor,
+            # is a measurement artifact, not a result
+            if g > cfg.gflops_up_bound:
                 raise RuntimeError(f"implausible {g:.1f} GFLOP/s > bound")
+            if 0 < sec < cfg.seconds_floor:
+                raise RuntimeError(
+                    f"implausible timing {sec:.2e}s under dispatch floor")
             fmt_bytes = int(plan.meta.get("format_bytes", 0))
             for f in plan.formats:
                 mb = getattr(f, "memory_bytes", 0)
